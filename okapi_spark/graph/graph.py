@@ -1,0 +1,108 @@
+"""The engine's graph abstraction: two DataFrames, not a vertex store.
+
+The reference keeps a distributed adjacency-list vertex store with
+pluggable out-edge containers (HashMapEdges et al.,
+common/graph/SortedOutEdges.java:49, spinner/OpenHashMapEdges.java:37).
+Here a graph is simply ``edges(src long, dst long, weight double)``
+plus derived vertex/degree tables; physical placement is hash
+partitioning on ``src`` done ONCE and cached, so every superstep's
+scatter join (state ⋈ edges on src) reuses the cached exchange and
+only the (small) state side shuffles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class Graph:
+    """An immutable edge-set view of a directed graph.
+
+    ``edges`` columns: src (long), dst (long), weight (double).
+    Mutating algorithms (k-core, semimetric, b-matching) produce NEW
+    Graph objects — functional rebuilds, per SURVEY.md §2.a graph
+    mutation mapping.
+    """
+
+    edges: DataFrame
+    _num_vertices: int | None = field(default=None, repr=False)
+    _num_edges: int | None = field(default=None, repr=False)
+
+    @staticmethod
+    def from_edges(edges: DataFrame, partitions: int | None = None, cache: bool = True) -> "Graph":
+        """Normalize schema, co-locate by src, optionally persist."""
+        e = edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            (F.col("weight") if "weight" in edges.columns else F.lit(1.0)).cast("double").alias("weight"),
+        )
+        if partitions:
+            e = e.repartition(partitions, "src")
+        else:
+            e = e.repartition("src")
+        if cache:
+            e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        return Graph(edges=e)
+
+    # -- derived views ----------------------------------------------------
+    def vertices(self) -> DataFrame:
+        """Distinct vertex ids appearing on either endpoint."""
+        return (
+            self.edges.select(F.col("src").alias("id"))
+            .union(self.edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def out_degrees(self) -> DataFrame:
+        """(id, out_deg) — vertices with no out-edges are absent (join
+        with vertices() and coalesce(0) where dangling matters)."""
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("out_deg")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("in_deg")
+        )
+
+    def degree_histogram(self) -> DataFrame:
+        """log2-bucketed out-degree histogram — the skew census used to
+        pick salting thresholds (SURVEY.md §4.2.2)."""
+        return (
+            self.out_degrees()
+            .withColumn("bucket", F.floor(F.log2("out_deg")))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vertices"), F.max("out_deg").alias("max_deg"))
+            .orderBy("bucket")
+        )
+
+    def symmetrize(self) -> "Graph":
+        """Undirected view: add reverse edges, dedupe — ReverseEdges
+        semantics (common/computation/ReverseEdges.java:36-63)."""
+        rev = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        sym = (
+            self.edges.unionByName(rev)
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        return Graph.from_edges(sym)
+
+    def num_vertices(self) -> int:
+        if self._num_vertices is None:
+            self._num_vertices = self.vertices().count()
+        return self._num_vertices
+
+    def num_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()

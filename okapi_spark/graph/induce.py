@@ -1,0 +1,76 @@
+"""Edge induction: documents(repo, path, commit, …) → edges(src, dst, w).
+
+The reference ingests pre-built text edge lists (io/formats/*.java);
+this engine instead derives the link graph from the source-repo table
+(north rule): two path-vertices are linked when they co-occur in the
+same commit, weight = number of co-occurring commits.
+
+Scale notes (10^12 files): the co-commit self-join is quadratic in
+commit size, so commits above ``max_commit_size`` are dropped from
+pair generation (bulk refactors/imports would otherwise emit O(k²)
+pairs; standard practice in co-change mining). The join key
+(repo, commit) is high-cardinality and uniform → well-shuffled; path
+hubs come out as high-degree VERTICES, handled downstream by
+salting/AQE, not here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from okapi_spark.graph.graph import Graph
+
+
+def vertex_id(repo_col, path_col):
+    """Stable 64-bit vertex id — xxhash64 of 'repo/path' (SURVEY §1.5)."""
+    return F.xxhash64(F.concat_ws("/", repo_col, path_col))
+
+
+def vertices_table(documents: DataFrame) -> DataFrame:
+    """(id, repo, path) — the vertex dictionary for result decoding."""
+    return (
+        documents.select("repo", "path")
+        .distinct()
+        .withColumn("id", vertex_id(F.col("repo"), F.col("path")))
+    )
+
+
+def induce_edges(
+    documents: DataFrame,
+    max_commit_size: int = 64,
+    symmetric: bool = True,
+) -> Graph:
+    """Co-commit edge induction.
+
+    Directed pair (u, v) with u < v, weight = co-commit count; with
+    ``symmetric`` the reverse edges are added (ReverseEdges semantics)
+    so every downstream algorithm sees an undirected graph, matching
+    how the reference's test graphs list both directions
+    (e.g. graphs/SemimetricTrianglesTest.java:36-53).
+    """
+    touches = (
+        documents.select("repo", "commit", vertex_id(F.col("repo"), F.col("path")).alias("vid"))
+        .dropDuplicates(["repo", "commit", "vid"])
+    )
+    # commit-size cap via a groupBy (not a window: cheaper, map-side combine)
+    commit_sizes = touches.groupBy("repo", "commit").agg(F.count("*").alias("csize"))
+    small = touches.join(
+        commit_sizes.filter(F.col("csize") <= max_commit_size).select("repo", "commit"),
+        ["repo", "commit"],
+        "inner",
+    )
+    a, b = small.alias("a"), small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.repo") == F.col("b.repo"))
+        & (F.col("a.commit") == F.col("b.commit"))
+        & (F.col("a.vid") < F.col("b.vid")),
+        "inner",
+    ).select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+    weighted = pairs.groupBy("src", "dst").agg(F.count("*").cast("double").alias("weight"))
+    if symmetric:
+        weighted = weighted.unionByName(
+            weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    return Graph.from_edges(weighted)

@@ -1,0 +1,163 @@
+"""PageRank — reference semantics from graphs/SimplePageRank.java:44-70.
+
+Per superstep: ``rank(v) = 0.15/N + 0.85 · Σ incoming``, message along
+each out-edge = ``rank/outDegree``. The reference halts after a fixed
+``pagerank.max.supersteps`` (default 30, SimplePageRank.java:36-38);
+the north rule instead requires convergence to max per-vertex delta
+< 1e-6, so that is the default here (``max_supersteps`` still caps).
+
+Dangling vertices: the reference's edge-list inputs give every vertex
+out-edges, and it never redistributes dangling mass — we preserve that
+behavior (a dangling vertex absorbs rank and sends nothing).
+
+Two physical strategies, same fixpoint:
+
+* ``mode="sql"`` — messages as an equi-join + hash aggregation.
+  ``edges_share`` (src, dst, share=w/Σw) is repartitioned by src and
+  cached ONCE; per superstep only the small rank state shuffles into
+  the join, and Catalyst's partial aggregation does Giraph's message
+  combining map-side.
+* ``mode="csr"`` — partition-local sparse gather-scatter (north rule):
+  edges and ranks co-grouped on pmod(xxhash64(src), P); inside an
+  Arrow-batched pandas UDF the partition's adjacency is packed into
+  CSR-style NumPy arrays (cached per worker across supersteps) and
+  partial per-dst sums are emitted via ``np.add.at`` — zero per-row
+  Python — followed by one final groupBy(dst) reduction. Map-side
+  combining shrinks the shuffle from |E| rows to |distinct dst per
+  partition| rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
+from okapi_spark.graph.graph import Graph
+
+# worker-global CSR cache: (epoch, pid) -> packed arrays; reused across
+# supersteps because Spark reuses Python workers (spark.python.worker.reuse).
+_CSR_CACHE: dict = {}
+
+
+def pagerank(
+    graph: Graph,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    damping: float = 0.85,
+    weighted: bool = False,
+    mode: str = "sql",
+    store: CheckpointStore | None = None,
+    num_partitions: int | None = None,
+) -> BSPResult:
+    """Returns BSPResult whose state is (id long, rank double)."""
+    spark = graph.edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = vertices.count()
+    base = (1.0 - damping) / n
+
+    # share = fraction of rank sent along each out-edge
+    if weighted:
+        tot = graph.edges.groupBy("src").agg(F.sum("weight").alias("wsum"))
+        shares = graph.edges.join(tot, "src").select(
+            "src", "dst", (F.col("weight") / F.col("wsum")).alias("share")
+        )
+    else:
+        deg = graph.out_degrees().withColumnRenamed("id", "src")
+        shares = graph.edges.join(deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
+        )
+
+    if mode == "csr":
+        shares = shares.withColumn("pid", F.pmod(F.xxhash64("src"), F.lit(num_partitions)).cast("int"))
+        shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        shares = shares.repartition(num_partitions, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    shares.count()  # materialize once
+
+    state0 = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+
+    epoch = id(graph)  # CSR cache namespace for this graph instance
+
+    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
+        if mode == "csr":
+            msgs = _csr_messages(shares, state, num_partitions, epoch)
+        else:
+            msgs = (
+                shares.join(state.withColumnRenamed("id", "src"), "src")
+                .select("dst", (F.col("rank") * F.col("share")).alias("m"))
+                .groupBy("dst")
+                .agg(F.sum("m").alias("msum"))
+            )
+        new_state = (
+            state.join(msgs, state["id"] == msgs["dst"], "left")
+            .select(
+                state["id"],
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
+                state["rank"].alias("prev"),
+            )
+        )
+        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        delta = new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
+        out = new_state.select("id", "rank")
+        return out, {"max_delta": float(delta), "edges_processed": graph.num_edges()}
+
+    result = run_supersteps(
+        state0,
+        superstep,
+        max_supersteps=max_supersteps,
+        halt_fn=lambda ss, m: m["max_delta"] < tol,
+        store=store,
+    )
+    return result
+
+
+def _csr_messages(shares: DataFrame, state: DataFrame, p: int, epoch: int) -> DataFrame:
+    """Partition-local gather-scatter: per co-group, partial Σ per dst."""
+    import numpy as np  # imported on workers
+
+    ranks = state.withColumn("pid", F.pmod(F.xxhash64("id"), F.lit(p)).cast("int"))
+
+    def kernel(key, edges_it, ranks_pdf_it):
+        # cogroup hands full pandas frames (not iterators) per key
+        edges_pdf, ranks_pdf = edges_it, ranks_pdf_it
+        pid = int(key[0])
+        ck = (epoch, pid)
+        packed = _CSR_CACHE.get(ck)
+        if packed is None or len(packed[0]) != len(edges_pdf):
+            # pack: factorize src against a sorted unique index so rank
+            # lookup is a vectorized searchsorted, not a hash probe
+            src = edges_pdf["src"].to_numpy()
+            order = np.argsort(src, kind="stable")
+            src_sorted = src[order]
+            dst_sorted = edges_pdf["dst"].to_numpy()[order]
+            share_sorted = edges_pdf["share"].to_numpy()[order]
+            uniq_src = np.unique(src_sorted)
+            packed = (src_sorted, dst_sorted, share_sorted, uniq_src)
+            _CSR_CACHE[ck] = packed
+        src_sorted, dst_sorted, share_sorted, uniq_src = packed
+        if len(ranks_pdf) == 0 or len(src_sorted) == 0:
+            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                                 "msum_p": pd.Series([], dtype="float64")})
+        rid = ranks_pdf["id"].to_numpy()
+        rv = ranks_pdf["rank"].to_numpy()
+        ro = np.argsort(rid, kind="stable")
+        rid, rv = rid[ro], rv[ro]
+        # gather: rank of each edge's src (co-partitioned ⇒ always present)
+        pos = np.searchsorted(rid, src_sorted)
+        contrib = rv[pos] * share_sorted
+        # scatter: partial sums per dst within the partition
+        uniq_dst, inv = np.unique(dst_sorted, return_inverse=True)
+        partial = np.zeros(len(uniq_dst), dtype="float64")
+        np.add.at(partial, inv, contrib)
+        return pd.DataFrame({"dst": uniq_dst, "msum_p": partial})
+
+    partials = shares.groupBy("pid").cogroup(ranks.groupBy("pid")).applyInPandas(
+        kernel, schema="dst long, msum_p double"
+    )
+    return partials.groupBy("dst").agg(F.sum("msum_p").alias("msum"))

@@ -1,0 +1,63 @@
+"""PageRank vs dense power-iteration oracle (allclose 1e-6, north rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from okapi_spark.graph.graph import Graph
+from okapi_spark.operators.pagerank import pagerank
+from tests.conftest import FIVE_VERTEX, toy_edges
+from tests.oracles import pagerank_oracle
+
+
+def _er_graph(n=120, p=0.05, seed=3):
+    rng = np.random.default_rng(seed)
+    edges = []
+    for i in range(n):
+        for j in range(n):
+            if i != j and rng.random() < p:
+                edges.append((i + 1, j + 1, 1.0))
+    # ensure every vertex has at least one out-edge (reference inputs do)
+    present = {e[0] for e in edges}
+    for i in range(1, n + 1):
+        if i not in present:
+            edges.append((i, (i % n) + 1, 1.0))
+    return edges
+
+
+@pytest.mark.parametrize("mode", ["sql", "csr"])
+def test_pagerank_toy(spark, mode):
+    edges = toy_edges(spark, FIVE_VERTEX)
+    g = Graph.from_edges(edges)
+    res = pagerank(g, tol=1e-6, max_supersteps=100, mode=mode)
+    assert res.converged
+    got = {r.id: r.rank for r in res.state.collect()}
+    want = pagerank_oracle([(s, d) for s, d, _ in FIVE_VERTEX] + [(d, s) for s, d, _ in FIVE_VERTEX])
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-6
+
+
+@pytest.mark.parametrize("mode", ["sql", "csr"])
+def test_pagerank_erdos_renyi(spark, mode):
+    edges = _er_graph()
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long, weight double"))
+    res = pagerank(g, tol=1e-7, max_supersteps=200, mode=mode)
+    assert res.converged
+    got = {r.id: r.rank for r in res.state.collect()}
+    want = pagerank_oracle([(s, d) for s, d, _ in edges], tol=1e-7)
+    assert len(got) == len(want)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-6, f"vertex {v}"
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Same fixpoint at different shuffle widths (SURVEY.md §5)."""
+    edges = toy_edges(spark, FIVE_VERTEX)
+    g = Graph.from_edges(edges)
+    r4 = pagerank(g, tol=1e-8, num_partitions=4)
+    r8 = pagerank(g, tol=1e-8, num_partitions=8)
+    a = {r.id: r.rank for r in r4.state.collect()}
+    b = {r.id: r.rank for r in r8.state.collect()}
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-9
