@@ -74,3 +74,26 @@ def induce_edges(
             weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
     return Graph.from_edges(weighted)
+
+
+def copurchase_edges(spark, sf_dir: str, symmetric: bool = True) -> Graph:
+    """Co-purchase graph from the TPC-H-ish testdata: part-vertices
+    linked when they co-occur in an order (lineitem self-join) —
+    the same induction shape as the co-commit graph, over natural
+    long keys so a SQL oracle can reproduce it verbatim.
+    Weight 1.0 per distinct pair (dedup'd)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    e = pairs.withColumn("weight", F.lit(1.0))
+    if symmetric:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    return Graph.from_edges(e)

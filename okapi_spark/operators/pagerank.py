@@ -51,8 +51,14 @@ def pagerank(
     mode: str = "sql",
     store: CheckpointStore | None = None,
     num_partitions: int | None = None,
+    iterations: int | None = None,
 ) -> BSPResult:
-    """Returns BSPResult whose state is (id long, rank double)."""
+    """Returns BSPResult whose state is (id long, rank double).
+
+    ``iterations``: run exactly that many supersteps ignoring ``tol`` —
+    the reference's fixed-budget mode (pagerank.max.supersteps=30,
+    SimplePageRank.java:36-38) and the oracle-parity mode.
+    """
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -102,18 +108,26 @@ def pagerank(
                 state["rank"].alias("prev"),
             )
         )
+        if iterations is not None:
+            # fixed budget: no convergence metric → one action per superstep
+            return new_state.select("id", "rank"), {"edges_processed": graph.num_edges()}
         new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
         delta = new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
         out = new_state.select("id", "rank")
         return out, {"max_delta": float(delta), "edges_processed": graph.num_edges()}
 
-    result = run_supersteps(
-        state0,
-        superstep,
-        max_supersteps=max_supersteps,
-        halt_fn=lambda ss, m: m["max_delta"] < tol,
-        store=store,
-    )
+    if iterations is not None:
+        result = run_supersteps(
+            state0, superstep, max_supersteps=iterations, halt_fn=None, store=store
+        )
+    else:
+        result = run_supersteps(
+            state0,
+            superstep,
+            max_supersteps=max_supersteps,
+            halt_fn=lambda ss, m: m["max_delta"] < tol,
+            store=store,
+        )
     return result
 
 

@@ -1,0 +1,123 @@
+"""Shortest paths — single- and multi-source.
+
+SSSP (graphs/SingleSourceShortestPaths.java:36-93): classic Pregel
+relaxation — value starts ∞ (source 0), each round take the min of
+incoming ``dist + w`` candidates, send only on improvement. The Spark
+loop keeps a frontier of improved vertices; one scatter join + min-agg
+per superstep, halting when the frontier empties. Exact on float64.
+
+MSSP (graphs/MultipleSourceShortestPaths.java:78-235): the reference
+keeps a per-vertex map source→distance and propagates only changed
+entries. Here the state is the exploded long form (id, src, dist) —
+the delta-only propagation falls out of the same frontier logic, and
+the "map" is just a groupBy away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
+from okapi_spark.graph.graph import Graph
+
+
+def sssp(
+    graph: Graph,
+    source: int,
+    max_supersteps: int = 200,
+    store: CheckpointStore | None = None,
+) -> BSPResult:
+    """Returns state (id long, dist double) — unreachable vertices absent
+    (the reference leaves them at ∞; filter-out is the relational view)."""
+    spark = graph.edges.sparkSession
+    edges = graph.edges
+
+    state0 = spark.createDataFrame(
+        [(int(source), 0.0, True)], "id long, dist double, changed boolean"
+    )
+
+    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
+        frontier = state.filter("changed").select(F.col("id").alias("src"), "dist")
+        cand = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            state.select("id", "dist").join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("cand", F.lit(float("inf")))).alias("dist"),
+                (
+                    F.coalesce("cand", F.lit(float("inf")))
+                    < F.coalesce("dist", F.lit(float("inf")))
+                ).alias("changed"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_changed = merged.filter("changed").count()
+        return merged, {"changed": n_changed}
+
+    res = run_supersteps(
+        state0, superstep, max_supersteps=max_supersteps,
+        halt_fn=lambda ss, m: m["changed"] == 0, store=store,
+    )
+    res.state = res.state.select("id", "dist")
+    return res
+
+
+def mssp(
+    graph: Graph,
+    sources: list[int],
+    max_supersteps: int = 200,
+    store: CheckpointStore | None = None,
+) -> BSPResult:
+    """Multi-source: state (id, src, dist) in exploded long form —
+    equivalent to the reference's MapWritable source→distance
+    (MultipleSourceShortestPaths.java:171-214) but joinable/columnar."""
+    spark = graph.edges.sparkSession
+    edges = graph.edges
+
+    state0 = spark.createDataFrame(
+        [(int(s), int(s), 0.0, True) for s in sources],
+        "id long, origin long, dist double, changed boolean",
+    )
+
+    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
+        frontier = state.filter("changed").select(F.col("id").alias("src"), "origin", "dist")
+        cand = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"), "origin")
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            state.select("id", "origin", "dist").join(cand, ["id", "origin"], "full_outer")
+            .select(
+                "id", "origin",
+                F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("cand", F.lit(float("inf")))).alias("dist"),
+                (
+                    F.coalesce("cand", F.lit(float("inf")))
+                    < F.coalesce("dist", F.lit(float("inf")))
+                ).alias("changed"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_changed = merged.filter("changed").count()
+        return merged, {"changed": n_changed}
+
+    res = run_supersteps(
+        state0, superstep, max_supersteps=max_supersteps,
+        halt_fn=lambda ss, m: m["changed"] == 0, store=store,
+    )
+    res.state = res.state.select("id", "origin", "dist")
+    return res
+
+
+def mssp_sources_by_fraction(graph: Graph, fraction: float, seed: int = 0) -> list[int]:
+    """Seeded source selection by fraction — the reference's
+    sources.fraction / random.seed mode
+    (MultipleSourceShortestPaths.java:83-139), made partitioning-
+    independent via hash-derived uniforms."""
+    v = graph.vertices()
+    u = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(10**9)).cast("double")) / 1e9
+    return [r.id for r in v.filter(u < fraction).collect()]

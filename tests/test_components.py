@@ -1,0 +1,52 @@
+"""Connected components vs union-find oracle — exact (north rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from okapi_spark.graph.graph import Graph
+from okapi_spark.operators.components import connected_components
+from tests.conftest import FIVE_VERTEX, toy_edges
+from tests.oracles import components_oracle
+
+
+def test_cc_toy_single_component(spark):
+    g = Graph.from_edges(toy_edges(spark, FIVE_VERTEX))
+    res = connected_components(g)
+    assert res.converged
+    got = {r.id: r.comp for r in res.state.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_multi_component(spark):
+    # two cliques + an isolated pair + a long chain (stresses propagation depth)
+    edges = []
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            edges.append((a, b, 1.0))
+    for a in range(10, 13):
+        for b in range(a + 1, 13):
+            edges.append((a, b, 1.0))
+    edges.append((20, 21, 1.0))
+    chain = [(30 + i, 30 + i + 1, 1.0) for i in range(40)]
+    edges += chain
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res = connected_components(g, max_supersteps=100)
+    assert res.converged
+    got = {r.id: r.comp for r in res.state.collect()}
+    want = components_oracle([(s, d) for s, d, _ in edges] + [(d, s) for s, d, _ in edges])
+    assert got == want
+
+
+def test_cc_random_graph(spark):
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(rng.integers(1, 300)), int(rng.integers(1, 300)), 1.0) for _ in range(350)
+    ]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res = connected_components(g, max_supersteps=150)
+    assert res.converged
+    got = {r.id: r.comp for r in res.state.collect()}
+    want = components_oracle([(s, d) for s, d, _ in edges] + [(d, s) for s, d, _ in edges])
+    assert got == want

@@ -1,0 +1,93 @@
+"""Label propagation: classic LPA vs sequential synchronous oracle;
+Spinner balanced mode invariants (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from okapi_spark.graph.graph import Graph
+from okapi_spark.operators.lpa import label_propagation, spinner_partition
+from tests.conftest import toy_edges
+
+
+def lpa_oracle(edges, iterations, weighted=True):
+    """Synchronous LPA: label ← argmax (sum incoming weight), tie → min
+    label; vertices with no in-edges keep their label."""
+    nodes = sorted({v for e in edges for v in e[:2]})
+    lbl = {v: v for v in nodes}
+    for _ in range(iterations):
+        hist: dict[int, dict[int, float]] = {}
+        for s, d, w in edges:
+            hist.setdefault(d, {}).setdefault(lbl[s], 0.0)
+            hist[d][lbl[s]] += w if weighted else 1.0
+        new = {}
+        for v in nodes:
+            if v in hist:
+                best = max(hist[v].items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = lbl[v]
+        lbl = new
+    return lbl
+
+
+def _two_communities():
+    """Two dense cliques bridged by one weak edge."""
+    edges = []
+    for a in range(1, 7):
+        for b in range(a + 1, 7):
+            edges.append((a, b, 1.0))
+    for a in range(11, 17):
+        for b in range(a + 1, 17):
+            edges.append((a, b, 1.0))
+    edges.append((6, 11, 0.1))
+    return edges
+
+
+def test_lpa_fixed_iterations_matches_oracle(spark):
+    edges = _two_communities()
+    g = Graph.from_edges(toy_edges(spark, edges))
+    for iters in (1, 2, 4):
+        res = label_propagation(g, iterations=iters)
+        got = {r.id: r.lbl for r in res.state.collect()}
+        sym = edges + [(d, s, w) for s, d, w in edges]
+        want = lpa_oracle(sym, iters)
+        assert got == want, f"iterations={iters}"
+
+
+def test_lpa_converges_to_two_communities(spark):
+    edges = _two_communities()
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res = label_propagation(g, max_supersteps=30)
+    got = {r.id: r.lbl for r in res.state.collect()}
+    left = {got[v] for v in range(1, 7)}
+    right = {got[v] for v in range(11, 17)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_spinner_balanced_partitioning(spark):
+    rng = np.random.default_rng(9)
+    n = 80
+    edges = []
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            if rng.random() < 0.08:
+                edges.append((i, j, 1.0))
+    g = Graph.from_edges(toy_edges(spark, edges))
+    k = 4
+    res = spinner_partition(g, k=k, max_iterations=30)
+    rows = res.state.collect()
+    parts = {r.id: r.part for r in rows}
+    assert set(parts.values()) <= set(range(k))
+    # balance invariant: no label exceeds capacity by more than slack
+    from collections import Counter
+
+    deg = Counter()
+    for s, d, _ in edges:
+        deg[s] += 1
+        deg[d] += 1
+    load = Counter()
+    for v, p in parts.items():
+        load[p] += deg.get(v, 0)
+    total = sum(load.values())
+    assert max(load.values()) <= 1.6 * total / k  # soft balance
