@@ -117,8 +117,64 @@ def _q_sssp(spark, sf_dir):
     return sssp(g, int(src)).state
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings / events views)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_stats(spark, sf_dir):
+    from okapi_spark.functions.text import doc_stats
+
+    return doc_stats(_docs(spark, sf_dir))
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    from okapi_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select("fingerprint", "n_dups", "keep_id")
+
+
+def _q_minhash_dups(spark, sf_dir):
+    from okapi_spark.functions.dedup import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(
+        _docs(spark, sf_dir), n=3, num_hashes=8, bands=4, threshold=0.4
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from okapi_spark.functions.dedup import simhash16
+
+    return simhash16(_docs(spark, sf_dir))
+
+
+def _q_embed_knn(spark, sf_dir):
+    from okapi_spark.functions.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries_df, k=10)
+
+
+def _q_sessionize(spark, sf_dir):
+    from okapi_spark.functions.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_id", "n_events",
+        F.round(F.col("started").cast("timestamp").cast("double"), 6).alias("started_s"),
+        F.round(F.col("ended").cast("timestamp").cast("double"), 6).alias("ended_s"),
+        "total_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # link-graph suite (flagship four + friends)
         "degree": _q_degree,
         "triangle_total": _q_triangle_total,
         "triangle_per_vertex": _q_triangle_per_vertex,
@@ -126,6 +182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_10": _q_pagerank10,
         "lpa_4": _q_lpa4,
         "sssp_hops": _q_sssp,
+        # training-data pipeline suite
+        "doc_stats": _q_doc_stats,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "minhash_lsh_dups": _q_minhash_dups,
+        "simhash16": _q_simhash,
+        "embed_cosine_topk": _q_embed_knn,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -192,6 +255,152 @@ def _sssp_sql(iters: int = 6) -> str:
     return "WITH " + _EDGES_CTE + ", " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{iters}"
 
 
+_PUNCT_RE = r"""[^.,;:!?'"()\[\]{}-]"""
+
+_DOC_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tkl,
+         CASE WHEN LENGTH(text) > 0
+              THEN LENGTH(regexp_replace(text, '{_PUNCT_RE.replace("'", "''")}', '', 'g'))::DOUBLE / LENGTH(text)
+              ELSE 0.0 END AS praw
+  FROM documents
+)
+SELECT doc_id,
+  LENGTH(text) AS n_chars,
+  len(tk) AS n_tokens,
+  ROUND(praw, 9) AS punct_ratio,
+  ROUND(CASE WHEN len(tkl) > 0
+        THEN len(list_filter(tkl, x -> x IN ('the','and','of','to','in','is','that','for')))::DOUBLE / len(tkl)
+        ELSE 0.0 END, 9) AS stopword_ratio_en,
+  ROUND(((CASE WHEN LENGTH(text) BETWEEN 64 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN len(tk) > 0 AND (LENGTH(text)::DOUBLE / len(tk)) >= 2.5
+                AND (LENGTH(text)::DOUBLE / len(tk)) <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 9) AS quality,
+  sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM toks
+"""
+
+_EXACT_DUP_SQL = """
+WITH fp AS (
+  SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2
+"""
+
+# shared shingle postings (word trigrams, Spark shingles() parity)
+_SHINGLES_CTE = """
+tk AS (
+  SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT t.id,
+         array_to_string(t.toks[g.i : least(g.i + 2, len(t.toks))], ' ') AS shingle
+  FROM tk t, LATERAL (SELECT UNNEST(range(1, greatest(len(t.toks) - 3, 0) + 2)) AS i) g
+  WHERE len(t.toks) > 0
+    AND LENGTH(array_to_string(t.toks[g.i : least(g.i + 2, len(t.toks))], ' ')) > 0
+)
+"""
+
+_MINHASH_SQL = (
+    "WITH " + _SHINGLES_CTE + """,
+sig AS (
+  SELECT id,
+    MIN(md5(shingle || '#0')) AS h0, MIN(md5(shingle || '#1')) AS h1,
+    MIN(md5(shingle || '#2')) AS h2, MIN(md5(shingle || '#3')) AS h3,
+    MIN(md5(shingle || '#4')) AS h4, MIN(md5(shingle || '#5')) AS h5,
+    MIN(md5(shingle || '#6')) AS h6, MIN(md5(shingle || '#7')) AS h7
+  FROM sh GROUP BY id
+),
+buck AS (
+  SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+  UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+  UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM buck l JOIN buck r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS common
+  FROM cand c JOIN sh pa ON pa.id = c.a JOIN sh pb ON pb.id = c.b AND pb.shingle = pa.shingle
+  GROUP BY c.a, c.b
+),
+scored AS (
+  SELECT c.a, c.b,
+         ROUND(COALESCE(i.common, 0)::DOUBLE / (sa.sz + sb.sz - COALESCE(i.common, 0)), 9) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.id = c.a JOIN sizes sb ON sb.id = c.b
+)
+SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.4"""
+)
+
+_SIMHASH_BITS = "\n".join(
+    f"    SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b},"
+    for b in range(16)
+).rstrip(",")
+
+_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS th FROM t),
+s AS (
+  SELECT id,
+{_SIMHASH_BITS}
+  FROM h GROUP BY id
+)
+SELECT id,
+  CAST({' + '.join(f'(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)' for b in range(16))} AS INTEGER) AS simhash
+FROM s
+"""
+
+_EMBED_KNN_SQL = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(d.v) + 1), i -> d.v[i] * q.qv[i]))
+           / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 9) AS sim
+  FROM d, q WHERE d.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND(MIN(epoch(ts)), 6) AS started_s,
+       ROUND(MAX(epoch(ts)), 6) AS ended_s,
+       ROUND(SUM(value), 9) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "degree": "WITH " + _EDGES_CTE + "\nSELECT id, degree FROM deg",
@@ -218,4 +427,10 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "pagerank_10": _pagerank_sql(10),
         "lpa_4": _lpa_sql(4),
         "sssp_hops": _sssp_sql(6),
+        "doc_stats": _DOC_STATS_SQL,
+        "exact_dup_groups": _EXACT_DUP_SQL,
+        "minhash_lsh_dups": _MINHASH_SQL,
+        "simhash16": _SIMHASH_SQL,
+        "embed_cosine_topk": _EMBED_KNN_SQL,
+        "sessionize": _SESSIONIZE_SQL,
     }

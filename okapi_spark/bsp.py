@@ -4,9 +4,13 @@ The reference's execution model is Pregel: per-superstep vertex
 kernels + a master state machine deciding phases and halting
 (e.g. graphs/Triangles.java:250-272, spinner/Spinner.java:700-736).
 Here the master loop is plain driver Python; a superstep is a function
-``(superstep:int, state:DataFrame) -> (DataFrame, metrics:dict)`` whose
-body is a declarative join/agg plan (Catalyst handles partial
-aggregation = Giraph's message combining) or a CSR pandas-UDF kernel.
+``(superstep:int, state:DataFrame) -> (DataFrame, post)`` whose body is
+a declarative join/agg plan (Catalyst handles partial aggregation =
+Giraph's message combining) or a CSR pandas-UDF kernel. ``post`` is
+either a metrics dict or a callable evaluated on the MATERIALIZED new
+state — so convergence metrics (delta, changed-count: the reference's
+aggregators) cost a cached scan, not a recompute, and each superstep
+runs exactly one full job.
 
 What the loop provides:
 
@@ -14,13 +18,12 @@ What the loop provides:
   plans; every superstep the new state is either written to the
   checkpoint store (parquet) and re-read, or localCheckpoint()ed.
 * **Resumability** (north rule) — ``CheckpointStore`` persists state +
-  a `_lineage.jsonl` ledger (superstep, rows, metrics, wall time,
-  seed); ``run`` with a store resumes from the latest complete
+  a `_lineage.jsonl` ledger (superstep, rows, metrics, wall time);
+  ``run_supersteps`` with a store resumes from the latest complete
   superstep after a crash, reaching the identical fixpoint
   (tests/test_checkpoint.py).
-* **Counters** — per-superstep wall time and caller-reported metrics
-  (edges processed → edges/sec), the TextAggregatorWriter analogue
-  (aggregators/TextAggregatorWriter.java:40-145).
+* **Counters** — per-superstep wall time and caller metrics, the
+  TextAggregatorWriter analogue (aggregators/TextAggregatorWriter.java:40-145).
 """
 
 from __future__ import annotations
@@ -34,7 +37,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-SuperstepFn = Callable[[int, DataFrame], tuple[DataFrame, dict]]
+Post = dict | Callable[[DataFrame], dict]
+SuperstepFn = Callable[[int, DataFrame], tuple[DataFrame, Post]]
 HaltFn = Callable[[int, dict], bool]
 
 
@@ -42,9 +46,9 @@ class CheckpointStore:
     """Parquet-backed superstep checkpoints with a JSONL lineage ledger.
 
     Layout: ``{root}/superstep={n}/`` parquet dirs + ``{root}/_lineage.jsonl``.
-    A superstep directory counts as complete only once its lineage line
-    is written (write state → fsync ledger), so a crash mid-write
-    resumes from the previous superstep.
+    A superstep counts as complete only once its ledger line is written
+    (state parquet first, then fsync'd ledger append), so a crash
+    mid-write resumes from the previous superstep.
     """
 
     def __init__(self, root: str):
@@ -68,14 +72,16 @@ class CheckpointStore:
     def state_path(self, superstep: int) -> str:
         return os.path.join(self.root, f"superstep={superstep}")
 
-    def save(self, superstep: int, state: DataFrame, metrics: dict) -> DataFrame:
+    def write_state(self, superstep: int, state: DataFrame) -> DataFrame:
         path = self.state_path(superstep)
         state.write.mode("overwrite").parquet(path)
-        reloaded = state.sparkSession.read.parquet(path)
+        return state.sparkSession.read.parquet(path)
+
+    def log(self, superstep: int, state: DataFrame, metrics: dict) -> None:
         entry = {
             "superstep": superstep,
-            "rows": reloaded.count(),
-            "partitions": reloaded.rdd.getNumPartitions(),
+            "rows": state.count(),
+            "partitions": state.rdd.getNumPartitions(),
             "metrics": metrics,
             "ts": time.time(),
         }
@@ -83,7 +89,6 @@ class CheckpointStore:
             f.write(json.dumps(entry) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        return reloaded
 
     def load(self, spark: SparkSession, superstep: int) -> DataFrame:
         return spark.read.parquet(self.state_path(superstep))
@@ -114,9 +119,9 @@ def run_supersteps(
 
     Without a store, lineage is truncated with ``localCheckpoint``
     (fast, not crash-resumable); with a store, parquet write-and-reread
-    every ``checkpoint_every`` supersteps + localCheckpoint in between.
-    Resume: if the store already has lineage, the loop continues from
-    the latest complete superstep.
+    every ``checkpoint_every`` supersteps (localCheckpoint in between).
+    If the store already has lineage, the loop RESUMES from the latest
+    complete superstep.
     """
     spark = state0.sparkSession
     state = state0
@@ -133,23 +138,38 @@ def run_supersteps(
                 return BSPResult(state, start_ss, True, log)
 
     converged = False
+    prev_cached: DataFrame | None = None
     for ss in range(start_ss, max_supersteps):
         t0 = time.time()
-        new_state, metrics = superstep_fn(ss, state)
-        halted = bool(halt_fn(ss, metrics)) if halt_fn else False
-        metrics = dict(metrics)
-        metrics["_halted"] = halted
+        new_state, post = superstep_fn(ss, state)
 
-        if store is not None and (ss % checkpoint_every == 0 or halted):
-            new_state = store.save(ss, new_state, metrics)
+        # materialize exactly once (lineage truncation + metric substrate)
+        if store is not None and (ss % checkpoint_every == 0 or ss == max_supersteps - 1):
+            materialized = store.write_state(ss, new_state)
+            on_disk = True
         else:
-            new_state = new_state.localCheckpoint(eager=True)
+            materialized = new_state.localCheckpoint(eager=True)
+            on_disk = False
+
+        metrics = post(materialized) if callable(post) else dict(post)
+        halted = bool(halt_fn(ss, metrics)) if halt_fn else False
+        metrics["_halted"] = halted
+        if store is not None:
+            if not on_disk and halted:
+                materialized = store.write_state(ss, materialized)
+                on_disk = True
+            if on_disk:
+                store.log(ss, materialized, metrics)
         metrics["superstep_sec"] = time.time() - t0
         metrics["superstep"] = ss
         log.append(metrics)
         if verbose:
-            print(f"[bsp] superstep={ss} {metrics}")
-        state = new_state
+            print(f"[bsp] {metrics}")
+
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = materialized if not on_disk else None
+        state = materialized
         if halted:
             converged = True
             break

@@ -32,6 +32,7 @@ class Graph:
     edges: DataFrame
     _num_vertices: int | None = field(default=None, repr=False)
     _num_edges: int | None = field(default=None, repr=False)
+    _by_dst: DataFrame | None = field(default=None, repr=False)
 
     @staticmethod
     def from_edges(edges: DataFrame, partitions: int | None = None, cache: bool = True) -> "Graph":
@@ -48,6 +49,28 @@ class Graph:
         if cache:
             e = e.persist(StorageLevel.MEMORY_AND_DISK)
         return Graph(edges=e)
+
+    def by_dst(self, partitions: int | None = None) -> DataFrame:
+        """Edges hash-partitioned by ``dst``, cached.
+
+        This is the physical layout the iterative operators scatter
+        over: with edges partitioned by dst and the (small) vertex
+        state broadcast into the src-join, the per-superstep message
+        aggregation ``groupBy(dst)`` is partition-complete — ZERO
+        shuffle exchanges per superstep, and no per-task partial-agg
+        hash maps (which we measured to anti-scale with task count:
+        each task otherwise builds an O(|V|) map regardless of its row
+        share). The one-time cost is a second cached copy of the edge
+        set; at cluster scale this is bucketed storage by dst.
+        """
+        if self._by_dst is None:
+            e = self.edges
+            if partitions:
+                e = e.repartition(partitions, "dst")
+            else:
+                e = e.repartition("dst")
+            self._by_dst = e.persist(StorageLevel.MEMORY_AND_DISK)
+        return self._by_dst
 
     # -- derived views ----------------------------------------------------
     def vertices(self) -> DataFrame:
@@ -106,3 +129,5 @@ class Graph:
 
     def unpersist(self) -> None:
         self.edges.unpersist()
+        if self._by_dst is not None:
+            self._by_dst.unpersist()

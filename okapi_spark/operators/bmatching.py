@@ -1,0 +1,106 @@
+"""Maximum b-matching (greedy 1/2-approximation) —
+graphs/maxbmatching/MaxBMatching.java:43-159.
+
+Per round the reference has every vertex propose its top-capacity
+edges by weight (min-max heap :69-99); mutually proposed edges become
+INCLUDED and decrement both capacities (:101-130); saturated vertices
+drop their remaining edges and halt (:132-146).
+
+Spark round: rank each vertex's live edges with a window
+(row_number ≤ remaining capacity, ordered by weight desc then
+neighbor id — the deterministic tie-break the heap leaves unspecified),
+self-join proposals on the reversed pair for mutuality, update
+capacities, functionally rebuild the live edge set. Greedy loop ends
+when no edge can be included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from okapi_spark.graph.graph import Graph
+
+
+def max_b_matching(
+    graph: Graph,
+    capacities: DataFrame,
+    default_capacity: int = 1,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Returns matched canonical edges (u, v, weight).
+
+    ``capacities``: (id long, capacity int); vertices absent get
+    ``default_capacity``.
+    """
+    caps = capacities.select("id", F.col("capacity").cast("int").alias("cap"))
+    edges = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    caps = (
+        Graph(edges=graph.edges).vertices()
+        .join(caps, "id", "left")
+        .select("id", F.coalesce("cap", F.lit(default_capacity)).alias("cap"))
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    for _ in range(max_rounds):
+        # directed view so each endpoint ranks its own incident edges
+        inc = edges.select(F.col("u").alias("me"), F.col("v").alias("other"), "weight").unionByName(
+            edges.select(F.col("v").alias("me"), F.col("u").alias("other"), "weight")
+        )
+        w = Window.partitionBy("me").orderBy(F.desc("weight"), F.asc("other"))
+        prop = (
+            inc.join(caps.withColumnRenamed("id", "me"), "me")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("cap"))
+            .select("me", "other")
+        )
+        mutual = (
+            prop.alias("p1")
+            .join(
+                prop.alias("p2"),
+                (F.col("p1.me") == F.col("p2.other")) & (F.col("p1.other") == F.col("p2.me")),
+            )
+            .filter(F.col("p1.me") < F.col("p1.other"))
+            .select(F.col("p1.me").alias("u"), F.col("p1.other").alias("v"))
+        )
+        included = mutual.join(edges, ["u", "v"]).localCheckpoint(eager=True)
+        n_inc = included.count()
+        if n_inc == 0:
+            break
+        matched = included if matched is None else matched.unionByName(included).localCheckpoint(eager=True)
+        # decrement capacities by per-vertex inclusion counts
+        used = (
+            included.select(F.col("u").alias("id"))
+            .unionByName(included.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("n"))
+        )
+        caps = (
+            caps.join(used, "id", "left")
+            .select("id", (F.col("cap") - F.coalesce("n", F.lit(0))).alias("cap"))
+            .localCheckpoint(eager=True)
+        )
+        # drop included edges and edges incident to saturated vertices
+        saturated = F.broadcast(caps.filter(F.col("cap") <= 0).select("id"))
+        edges = (
+            edges.join(included.select("u", "v"), ["u", "v"], "left_anti")
+            .join(saturated.withColumnRenamed("id", "u"), "u", "left_anti")
+            .join(saturated.withColumnRenamed("id", "v"), "v", "left_anti")
+            .select("u", "v", "weight")
+            .localCheckpoint(eager=True)
+        )
+        if edges.count() == 0:
+            break
+    if matched is None:
+        return edges.limit(0).select("u", "v", F.col("weight"))
+    return matched.select("u", "v", "weight")

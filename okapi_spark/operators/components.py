@@ -37,7 +37,9 @@ def connected_components(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
-    edges = graph.edges.select("src", "dst")
+    # dst-partitioned scatter layout: frontier broadcast + partition-
+    # complete min-agg ⇒ zero shuffle exchanges per superstep
+    edges = graph.by_dst(num_partitions).select("src", "dst")
     vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
     vertices.count()
 
@@ -45,23 +47,26 @@ def connected_components(
     # here the uniform loop does it — same fixpoint, one extra round.
     state0 = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
 
-    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
-        frontier = state.filter("changed").select(F.col("id").alias("src"), "comp")
+    n_edges = graph.num_edges()
+
+    def superstep(ss: int, state: DataFrame):
+        frontier = F.broadcast(state.filter("changed").select(F.col("id").alias("src"), "comp"))
         msgs = (
             edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("cand"))
         )
-        new_state = (
-            state.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least("comp", F.coalesce("cand", "comp")).alias("comp"),
-                (F.coalesce("cand", "comp") < F.col("comp")).alias("changed"),
-            )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_changed = new_state.filter("changed").count()
-        return new_state, {"changed": n_changed, "edges_processed": graph.num_edges()}
+        new_state = state.join(msgs, "id", "left").select(
+            "id",
+            F.least("comp", F.coalesce("cand", "comp")).alias("comp"),
+            (F.coalesce("cand", "comp") < F.col("comp")).alias("changed"),
+        )
+
+        def post(materialized: DataFrame) -> dict:
+            n_changed = materialized.filter("changed").count()
+            return {"changed": n_changed, "edges_processed": n_edges}
+
+        return new_state, post
 
     res = run_supersteps(
         state0,

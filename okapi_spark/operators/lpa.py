@@ -57,26 +57,37 @@ def label_propagation(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     w_col = F.col("weight") if weighted else F.lit(1.0)
-    edges = graph.edges.select("src", "dst", w_col.alias("weight"))
+    # dst-partitioned scatter layout (see Graph.by_dst): labels are
+    # broadcast into the src join; groupBy(dst, lbl) and the argmax
+    # groupBy(dst) are both partition-complete ⇒ zero exchanges
+    edges = graph.by_dst(num_partitions).select("src", "dst", w_col.alias("weight"))
 
     vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
     vertices.count()
     state0 = vertices.select("id", F.col("id").alias("lbl"))
 
-    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
+    def superstep(ss: int, state: DataFrame):
         hist = (
-            edges.join(state.withColumnRenamed("id", "src").withColumnRenamed("lbl", "slbl"), "src")
+            edges.join(
+                F.broadcast(
+                    state.select("id", "lbl").withColumnRenamed("id", "src").withColumnRenamed("lbl", "slbl")
+                ),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
             .agg(F.sum("weight").alias("w"))
         )
         best = _argmax_label(hist)
-        new_state = (
-            state.join(best, "id", "left")
-            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"),
-                    (F.coalesce("new_lbl", "lbl") != F.col("lbl")).alias("changed"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_changed = new_state.filter("changed").count()
-        return new_state.select("id", "lbl"), {"changed": n_changed}
+        new_state = state.join(best, "id", "left").select(
+            "id",
+            F.coalesce("new_lbl", "lbl").alias("lbl"),
+            (F.coalesce("new_lbl", "lbl") != F.col("lbl")).alias("changed"),
+        )
+
+        def post(materialized: DataFrame) -> dict:
+            return {"changed": materialized.filter("changed").count()}
+
+        return new_state, post
 
     if iterations is not None:
         halt = None
@@ -92,7 +103,9 @@ def label_propagation(
 
         max_ss = max_supersteps
 
-    return run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt, store=store)
+    res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt, store=store)
+    res.state = res.state.select("id", "lbl")
+    return res
 
 
 def spinner_partition(

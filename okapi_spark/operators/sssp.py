@@ -55,9 +55,12 @@ def sssp(
                     < F.coalesce("dist", F.lit(float("inf")))
                 ).alias("changed"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_changed = merged.filter("changed").count()
-        return merged, {"changed": n_changed}
+        )
+
+        def post(materialized: DataFrame) -> dict:
+            return {"changed": materialized.filter("changed").count()}
+
+        return merged, post
 
     res = run_supersteps(
         state0, superstep, max_supersteps=max_supersteps,
@@ -101,9 +104,12 @@ def mssp(
                     < F.coalesce("dist", F.lit(float("inf")))
                 ).alias("changed"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_changed = merged.filter("changed").count()
-        return merged, {"changed": n_changed}
+        )
+
+        def post(materialized: DataFrame) -> dict:
+            return {"changed": materialized.filter("changed").count()}
+
+        return merged, post
 
     res = run_supersteps(
         state0, superstep, max_supersteps=max_supersteps,

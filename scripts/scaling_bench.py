@@ -1,0 +1,74 @@
+"""Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
+
+Sandbox proxy per BASELINE.md: identical job + input at local[8] and
+local[32]. Job = PageRank, fixed supersteps, on a deterministic
+synthetic power-law graph big enough that compute dominates scheduling.
+Efficiency = (throughput@32 / throughput@8) / 4.
+
+Writes/updates BENCH.md. Run: python scripts/scaling_bench.py [n_edges]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+from okapi_spark.session import get_spark
+from okapi_spark.sources.synth_graph import generate_edges
+from okapi_spark.graph.graph import Graph
+from okapi_spark.operators.pagerank import pagerank
+
+cores = int(sys.argv[1]); n_edges = int(sys.argv[2]); iters = int(sys.argv[3])
+spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale{cores}")
+e = generate_edges(spark, n_edges, n_vertices=max(1000, n_edges // 8000))
+g = Graph.from_edges(e, partitions=max(cores, 32))
+m = g.num_edges()
+res = pagerank(g, iterations=iters, mode="sql", num_partitions=cores)
+res.state.count()  # warm: shares cached, plan compiled
+t0 = time.time()
+res2 = pagerank(g, iterations=iters, mode="sql", num_partitions=cores)
+res2.state.count()
+wall = time.time() - t0
+ss_sec = sum(x["superstep_sec"] for x in res2.metrics_log)
+print(json.dumps({"cores": cores, "edges": m, "iters": iters,
+                  "wall_sec": round(wall, 2), "superstep_sec": round(ss_sec, 2),
+                  "edges_per_sec_per_superstep": round(m * iters / ss_sec, 1)}))
+spark.stop()
+"""
+
+
+def run(cores: int, n_edges: int, iters: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000_000
+    iters = 5
+    lo = run(8, n_edges, iters)
+    hi = run(32, n_edges, iters)
+    eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / 4.0
+    result = {"local8": lo, "local32": hi, "scaling_efficiency_8_to_32": round(eff, 3),
+              "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    print(json.dumps(result, indent=2))
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(
+            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, pagerank x{iters})\n\n"
+            f"| parallelism | superstep wall (s) | edges/sec/superstep |\n|---|---|---|\n"
+            f"| local[8]  | {lo['superstep_sec']} | {lo['edges_per_sec_per_superstep']:,} |\n"
+            f"| local[32] | {hi['superstep_sec']} | {hi['edges_per_sec_per_superstep']:,} |\n\n"
+            f"**Scaling efficiency (8→32 cores, ÷4): {eff:.3f}** (target ≥ 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""k-means planted clusters (TestKMeansClustering.java:39-177 analogue)
+and SybilRank vs a NumPy oracle of the reference power iteration."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from okapi_spark.graph.graph import Graph
+from okapi_spark.operators.kmeans import kmeans
+from okapi_spark.operators.sybilrank import sybilrank
+from tests.conftest import toy_edges
+
+
+def test_kmeans_two_planted_clusters(spark):
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.5, 0.5]),
+        (3, [10.0, 10.0]), (4, [10.5, 10.0]), (5, [10.0, 10.5]),
+        (6, [10.2, 10.2]), (7, [10.4, 10.4]),
+    ]
+    df = spark.createDataFrame(pts, "id long, features array<double>")
+    assigned, centers = kmeans(df, k=2, seed=1)
+    got = {r.id: r.cluster for r in assigned.collect()}
+    a = {got[1], got[2]}
+    b = {got[i] for i in (3, 4, 5, 6, 7)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def sybil_oracle(edges, trusted, iters, n):
+    """Reference semantics (SybilRank.java:125-189)."""
+    nodes = sorted({v for e in edges for v in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for s, d, w in edges:
+        deg[idx[s]] += w
+    send = np.zeros(len(nodes))
+    for t in trusted:
+        send[idx[t]] = n / len(trusted)
+    for _ in range(iters):
+        recv = np.zeros(len(nodes))
+        for s, d, w in edges:
+            recv[idx[d]] += send[idx[s]] * w / deg[idx[s]]
+        send = recv
+    return {v: (send[idx[v]] / deg[idx[v]] if deg[idx[v]] else 0.0) for v in nodes}
+
+
+def test_sybilrank_oracle(spark):
+    rng = np.random.default_rng(4)
+    n = 60
+    edges = []
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            if rng.random() < 0.1:
+                edges.append((i, j, float(rng.integers(1, 4))))
+    present = {v for e in edges for v in e[:2]}
+    sym = edges + [(d, s, w) for s, d, w in edges]
+    trusted_ids = [v for v in sorted(present)[:5]]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    trusted = spark.createDataFrame([(t,) for t in trusted_ids], "id long")
+    res = sybilrank(g, trusted)
+    got = {r.id: r.rank for r in res.state.collect()}
+    iters = math.ceil(math.log10(len(present)))
+    want = sybil_oracle(sym, trusted_ids, iters, len(present))
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v

@@ -1,0 +1,148 @@
+"""Training-data pipeline functions: text stats, dedup tiers,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from okapi_spark.functions.dedup import (
+    exact_duplicates,
+    dedup_exact,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash_near_dups,
+)
+from okapi_spark.functions.multimodal import extract_features, synthesize_media
+from okapi_spark.functions.simsearch import cosine_near_dups, cosine_topk, lsh_topk
+from okapi_spark.functions.text import doc_stats
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),        # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "THE  QUICK  BROWN  FOX jumps over the lazy dog"),     # fp-dup of 1 after norm? (case+ws)
+    (6, "short"),
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_doc_stats(spark, docs_df):
+    got = {r.doc_id: r for r in doc_stats(docs_df).collect()}
+    assert got[1].n_tokens == 9
+    assert got[6].n_tokens == 1
+    assert got[1].fingerprint == hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    # normalization: case+whitespace collapse makes 5 share 1's fingerprint
+    assert got[5].fingerprint == got[1].fingerprint
+
+
+def test_exact_dedup(spark, docs_df):
+    dups = exact_duplicates(docs_df).collect()
+    assert len(dups) == 1
+    assert dups[0].n_dups == 3 and dups[0].keep_id == 1 and dups[0].dup_ids == [1, 2, 5]
+    kept = dedup_exact(docs_df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 6]
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs_df):
+    pairs = {(r.a, r.b): r.jaccard for r in
+             minhash_lsh_duplicates(
+                 docs_df, n=2, num_hashes=8, bands=8, threshold=0.5
+             ).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dups always caught
+    # (1,3): bigram sets share 6 of 10 → jaccard 0.6; 8 single-row bands
+    # catch it with prob 1-(1-0.6)^8 ≈ 0.9993
+    assert (1, 3) in pairs and pairs[(1, 3)] == pytest.approx(0.6, abs=1e-9)
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    pairs = {(r.a, r.b): r.jaccard for r in
+             ngram_jaccard_pairs(docs_df, threshold=0.4).collect()}
+    # oracle for (1,3): word-trigram sets
+    def tri(s):
+        t = s.lower().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+    g1, g3 = tri(DOCS[0][1]), tri(DOCS[2][1])
+    want = len(g1 & g3) / len(g1 | g3)
+    assert pairs[(1, 3)] == pytest.approx(want, abs=1e-9)
+
+
+def test_simhash(spark, docs_df):
+    h = {r.id: r.simhash for r in simhash16(docs_df).collect()}
+    assert h[1] == h[2]  # identical text → identical simhash
+    near = {(r.a, r.b): r.hamming for r in
+            simhash_near_dups(docs_df, max_hamming=3).collect()}
+    assert (1, 2) in near and near[(1, 2)] == 0
+
+
+def _embeddings(spark, n=40, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    # plant a near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    rows.append((n, [float(x) for x in (v0 + rng.normal(scale=0.01, size=dim))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_cosine_topk_vs_numpy(spark):
+    df, rows = _embeddings(spark)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = cosine_topk(df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.sim))
+    M = np.array([r[1] for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for q in range(3):
+        order = [i for i in np.argsort(-np.round(sims[q], 9), kind="stable") if i != q][:5]
+        got_ids = [v for v, _ in by_q[q]]
+        assert got_ids == [rows[i][0] for i in order], q
+    # the planted near-dup must top vector 0's list
+    assert by_q[0][0][0] == rows[-1][0]
+
+
+def test_lsh_topk_recall(spark):
+    df, rows = _embeddings(spark, n=120)
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(df, queries, k=5)
+    approx = lsh_topk(df, queries, k=5, bits=6)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # multiprobe LSH on gaussian data
+
+
+def test_cosine_near_dups(spark):
+    df, rows = _embeddings(spark)
+    pairs = cosine_near_dups(df, threshold=0.95).collect()
+    assert any({p.a, p.b} == {0, rows[-1][0]} for p in pairs)
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthesize_media(spark, n=64)
+    feats = extract_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 64
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = {r.media_id: list(r.feature) for r in extract_features(media, feature_dim=8).collect()}
+    for r in rows:
+        assert again[r.media_id] == list(r.feature)
+    # decode stub is explicit
+    from okapi_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
