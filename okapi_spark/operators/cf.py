@@ -1,0 +1,238 @@
+"""Collaborative filtering — ALS, SGD, and ranking evaluation.
+
+Reference model (cf/*): a bipartite user/item graph with rating edges,
+typed vertex ids CfLongId{type, id} (cf/CfLongId.java:29-53). Here the
+model is the natural relational one: ``ratings(user, item, rating)``
+plus factor tables ``(id, factors array<double>)`` per side — the typed
+id becomes which table/column a row lives in.
+
+* **ALS** (cf/als/Als.java:51-285): per vertex solve
+  ``(M·Mᵀ + λ·N·I) u = M·R`` where M stacks the counterpart factor
+  vectors and R the ratings (updateValue :140-151; golden test
+  cf/als/AlsTest.java:32-63 reproduced in tests). Alternation
+  user-side/item-side per superstep; RMSE aggregator; halt on
+  ``rmse < target`` or iteration budget (:242-283).
+* **SGD** (cf/sgd/Sgd.java:45-328): per message
+  ``v ← v − γ(λv + err·u)``, err from the CLIPPED prediction
+  (:180-199); defaults γ=0.005, λ=0.01, 10 iterations, rating
+  bounds [0,5] (:51-79). The reference applies messages in arrival
+  order (nondeterministic under Giraph); we sort by counterpart id
+  for reproducibility and document the divergence.
+* **Ranking eval** (cf/eval/RankEvaluationComputation.java:43-172):
+  Precision@k with ``numberSamples`` sampled irrelevant items (100)
+  and k=5 — windows + hash-seeded negative sampling.
+
+Factor init: the reference uses an UNSEEDED ``0.01·Random()``
+(Als.java:169-172); we use hash-derived uniforms in [0, 0.01) so runs
+are deterministic and partitioning-independent (SURVEY.md §4.2.6).
+
+Physical plan: the per-vertex solve/update runs in ``applyInPandas``
+grouped by the updating side — each group is one vertex's ratings
+joined with counterpart factors; NumPy solves the dense system.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _init_factors(ids: DataFrame, id_col: str, vector_size: int, seed: int, salt: str) -> DataFrame:
+    cols = [
+        (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(f"{salt}:{i}"), F.lit(seed)), F.lit(10**9))
+            .cast("double")
+            / 1e9
+            * 0.01
+        ).alias(f"f{i}")
+        for i in range(vector_size)
+    ]
+    return ids.select(id_col, F.array(*cols).alias("factors"))
+
+
+def _solve_side(
+    ratings: DataFrame,
+    counterpart_factors: DataFrame,
+    group_col: str,
+    other_col: str,
+    lambda_: float,
+    vector_size: int,
+) -> DataFrame:
+    """ALS half-step: re-solve ``group_col``-side factors from fixed
+    counterpart factors. Returns (group_col, factors)."""
+    joined = ratings.join(
+        counterpart_factors.withColumnRenamed("id", other_col).withColumnRenamed("factors", "cf"),
+        other_col,
+    ).select(F.col(group_col).alias("gid"), "rating", "cf")
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["cf"].to_numpy())  # n × f (rows = counterpart vectors)
+        R = pdf["rating"].to_numpy().astype(np.float64)
+        n = len(R)
+        A = M.T @ M + lambda_ * n * np.eye(vector_size)
+        V = M.T @ R
+        u = np.linalg.solve(A, V)
+        return pd.DataFrame({"id": [pdf["gid"].iloc[0]], "factors": [list(u)]})
+
+    return joined.groupBy("gid").applyInPandas(solve, schema="id long, factors array<double>")
+
+
+def _rmse(ratings: DataFrame, uf: DataFrame, itf: DataFrame,
+          clip: tuple[float, float] | None = None) -> float:
+    pred = (
+        ratings.join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
+        .join(itf.withColumnRenamed("id", "item").withColumnRenamed("factors", "ifac"), "item")
+        .select(
+            "rating",
+            F.aggregate(
+                F.zip_with("ufac", "ifac", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("p"),
+        )
+    )
+    if clip is not None:
+        pred = pred.select("rating", F.least(F.greatest(F.col("p"), F.lit(clip[0])), F.lit(clip[1])).alias("p"))
+    row = pred.agg(F.sqrt(F.avg(F.pow(F.col("p") - F.col("rating"), 2)))).collect()[0]
+    return float(row[0])
+
+
+def als(
+    ratings: DataFrame,
+    vector_size: int = 3,
+    lambda_: float = 0.01,
+    iterations: int = 10,
+    rmse_target: float = -1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """ratings: (user long, item long, rating double).
+    Returns (user_factors, item_factors, rmse_per_iteration)."""
+    ratings = ratings.select(
+        F.col("user").cast("long"), F.col("item").cast("long"), F.col("rating").cast("double")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    users = ratings.select(F.col("user").alias("id")).distinct()
+    items = ratings.select(F.col("item").alias("id")).distinct()
+    uf = _init_factors(users, "id", vector_size, seed, "user")
+    itf = _init_factors(items, "id", vector_size, seed, "item")
+    log: list[float] = []
+    for _ in range(iterations):
+        uf = _solve_side(ratings, itf, "user", "item", lambda_, vector_size).localCheckpoint(eager=True)
+        itf = _solve_side(ratings, uf, "item", "user", lambda_, vector_size).localCheckpoint(eager=True)
+        r = _rmse(ratings, uf, itf)
+        log.append(r)
+        if rmse_target > 0 and r < rmse_target:
+            break
+    return uf, itf, log
+
+
+def als_update_value(value: np.ndarray, mat_m: np.ndarray, mat_r: np.ndarray, lambda_: float) -> np.ndarray:
+    """The bare ALS kernel (Als.java updateValue :140-151), exposed for
+    the reference's golden unit test (AlsTest.java:32-63): solve
+    (M·Mᵀ + λ·|R|·I)·u = M·R with M of shape f × n."""
+    A = mat_m @ mat_m.T + lambda_ * mat_r.shape[0] * np.eye(mat_m.shape[0])
+    V = mat_m @ mat_r
+    return np.linalg.solve(A, V).ravel()
+
+
+def sgd(
+    ratings: DataFrame,
+    vector_size: int = 3,
+    lambda_: float = 0.01,
+    gamma: float = 0.005,
+    iterations: int = 10,
+    min_rating: float = 0.0,
+    max_rating: float = 5.0,
+    rmse_target: float = -1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Batch-synchronous SGD with the reference's update rule; message
+    order fixed to ascending counterpart id for determinism."""
+    ratings = ratings.select(
+        F.col("user").cast("long"), F.col("item").cast("long"), F.col("rating").cast("double")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    users = ratings.select(F.col("user").alias("id")).distinct()
+    items = ratings.select(F.col("item").alias("id")).distinct()
+    uf = _init_factors(users, "id", vector_size, seed, "user")
+    itf = _init_factors(items, "id", vector_size, seed, "item")
+
+    def make_update(group_col: str, other_col: str):
+        def update(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("oid", kind="stable")
+            v = pdf["own"].iloc[0].copy() if isinstance(pdf["own"].iloc[0], np.ndarray) else np.array(pdf["own"].iloc[0])
+            for u, r in zip(pdf["cf"], pdf["rating"]):
+                u = np.asarray(u)
+                pred = float(np.dot(v, u))
+                pred = min(max(pred, min_rating), max_rating)
+                err = pred - r
+                v = v - gamma * (lambda_ * v + err * u)
+            return pd.DataFrame({"id": [pdf["gid"].iloc[0]], "factors": [list(v)]})
+
+        return update
+
+    log: list[float] = []
+    for _ in range(iterations):
+        # user side updates from item factors
+        j = (
+            ratings.join(itf.withColumnRenamed("id", "item").withColumnRenamed("factors", "cf"), "item")
+            .join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "own"), "user")
+            .select(F.col("user").alias("gid"), F.col("item").alias("oid"), "rating", "cf", "own")
+        )
+        uf = j.groupBy("gid").applyInPandas(make_update("user", "item"), "id long, factors array<double>").localCheckpoint(eager=True)
+        # item side updates from (new) user factors
+        j = (
+            ratings.join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "cf"), "user")
+            .join(itf.withColumnRenamed("id", "item").withColumnRenamed("factors", "own"), "item")
+            .select(F.col("item").alias("gid"), F.col("user").alias("oid"), "rating", "cf", "own")
+        )
+        itf = j.groupBy("gid").applyInPandas(make_update("item", "user"), "id long, factors array<double>").localCheckpoint(eager=True)
+        r = _rmse(ratings, uf, itf, clip=(min_rating, max_rating))
+        log.append(r)
+        if rmse_target > 0 and r < rmse_target:
+            break
+    return uf, itf, log
+
+
+def precision_at_k(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    relevant: DataFrame,
+    k: int = 5,
+    num_samples: int = 100,
+    seed: int = 0,
+    rated: DataFrame | None = None,
+) -> float:
+    """Precision@k with sampled irrelevant items
+    (cf/eval/RankEvaluationComputation.java:43-172: per user, rank
+    ``num_samples`` hash-sampled UNCONNECTED items plus the relevant
+    test items by factor dot product; precision = relevant in top-k / k).
+    ``rated``: (user, item) training pairs to exclude from negatives —
+    the reference's "irrelevant" items are those with no edge at all."""
+    from pyspark.sql import Window
+
+    rel = relevant.select(F.col("user").cast("long"), F.col("item").cast("long"), F.lit(True).alias("is_rel"))
+    users = rel.select("user").distinct()
+    # deterministic negative sampling: per (user, item) hash ranks items
+    cand = users.crossJoin(item_factors.select(F.col("id").alias("item")))
+    cand = cand.join(rel.select("user", "item"), ["user", "item"], "left_anti")
+    if rated is not None:
+        cand = cand.join(
+            rated.select(F.col("user").cast("long"), F.col("item").cast("long")),
+            ["user", "item"],
+            "left_anti",
+        )
+    w_neg = Window.partitionBy("user").orderBy(F.xxhash64("user", "item", F.lit(seed)))
+    neg = cand.withColumn("rn", F.row_number().over(w_neg)).filter(F.col("rn") <= num_samples).drop("rn")
+    pool = rel.select("user", "item", "is_rel").unionByName(neg.withColumn("is_rel", F.lit(False)))
+    scored = (
+        pool.join(user_factors.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
+        .join(item_factors.withColumnRenamed("id", "item").withColumnRenamed("factors", "ifac"), "item")
+        .select(
+            "user", "item", "is_rel",
+            F.aggregate(F.zip_with("ufac", "ifac", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_user = topk.groupBy("user").agg((F.sum(F.col("is_rel").cast("int")) / k).alias("p"))
+    return float(per_user.agg(F.avg("p")).collect()[0][0])

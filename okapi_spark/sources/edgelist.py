@@ -1,0 +1,90 @@
+"""Text edge-list I/O — parity with the reference's io/formats/*.
+
+The reference ships 12 line-oriented edge input formats differing only
+in id/value types, default weights, reversal, and zeroing
+(io/formats/IntIntTextEdgeInputFormat.java:35 …
+LongDoubleReverseTextEdgeInputFormat.java:37, SURVEY.md §2.e), plus
+the bipartite CF format (cf/CfLongIdFloatTextInputFormat.java:36).
+In Spark they collapse into one reader with options: every variant is
+a projection/cast of ``split(line, sep)``.
+
+Writers: adjacency-list and edge-list text sinks
+(AdjacencyListNoValuesTextVertexOutputFormat.java:44,
+LongDoubleTextEdgeOutputFormat.java:30) plus parquet as the real sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# reference separator class: [\001\t ] (Spinner.java:921, io formats)
+DEFAULT_SEP = r"[\x01\t ]+"
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path: str,
+    weighted: bool = True,
+    default_weight: float = 1.0,
+    zero_weights: bool = False,
+    reverse: bool = False,
+    sep: str = DEFAULT_SEP,
+) -> DataFrame:
+    """(src long, dst long, weight double) from ``src dst [w]`` lines.
+
+    Option → reference format mapping:
+      weighted=False              → LongNullTextEdgeInputFormat (w=default)
+      zero_weights=True           → LongDoubleZerosTextEdgeInputFormat
+      reverse=True                → LongDoubleReverseTextEdgeInputFormat
+      int ids                     → IntInt*/IntDouble* (cast is lossless)
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), sep)
+    src = parts[0].cast("long")
+    dst = parts[1].cast("long")
+    if zero_weights:
+        w = F.lit(0.0)
+    elif weighted:
+        # get() tolerates missing third field (ANSI mode errors on [2])
+        w = F.coalesce(F.get(parts, 2).cast("double"), F.lit(default_weight))
+    else:
+        w = F.lit(default_weight)
+    if reverse:
+        src, dst = dst, src
+    return (
+        lines.filter(F.length(F.trim("value")) > 0)
+        .select(src.alias("src"), dst.alias("dst"), w.alias("weight"))
+    )
+
+
+def read_ratings(
+    spark: SparkSession, path: str, sep: str = DEFAULT_SEP
+) -> DataFrame:
+    """(user long, item long, rating double) from ``user item rating``
+    lines — CfLongIdFloatTextInputFormat parity (users type 0, items
+    type 1 become separate columns instead of typed ids)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), sep)
+    return lines.filter(F.length(F.trim("value")) > 0).select(
+        parts[0].cast("long").alias("user"),
+        parts[1].cast("long").alias("item"),
+        parts[2].cast("double").alias("rating"),
+    )
+
+
+def write_edge_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
+    """LongDoubleTextEdgeOutputFormat parity: one ``src dst w`` line per
+    edge."""
+    edges.select(
+        F.concat_ws(sep, F.col("src"), F.col("dst"), F.col("weight")).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def write_adjacency_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
+    """AdjacencyListNoValuesTextVertexOutputFormat parity: one
+    ``id nbr1 nbr2 ...`` line per vertex, neighbors sorted."""
+    adj = edges.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    adj.select(
+        F.concat_ws(sep, F.col("src"), F.concat_ws(sep, F.transform("nbrs", lambda x: x.cast("string")))).alias("value")
+    ).write.mode("overwrite").text(path)

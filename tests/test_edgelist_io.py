@@ -1,0 +1,47 @@
+"""Edge-list text I/O round trips (io/formats parity)."""
+
+from __future__ import annotations
+
+from okapi_spark.sources.edgelist import (
+    read_edge_list,
+    read_ratings,
+    write_adjacency_list,
+    write_edge_list,
+)
+
+
+def test_read_variants(spark, tmp_path):
+    p = tmp_path / "edges.txt"
+    p.write_text("1 2 0.5\n2\t3\t1.5\n3 1\n")
+    e = read_edge_list(spark, str(p))
+    rows = {(r.src, r.dst): r.weight for r in e.collect()}
+    assert rows == {(1, 2): 0.5, (2, 3): 1.5, (3, 1): 1.0}  # default weight fills
+    z = read_edge_list(spark, str(p), zero_weights=True)
+    assert {r.weight for r in z.collect()} == {0.0}
+    r = read_edge_list(spark, str(p), reverse=True)
+    assert {(x.src, x.dst) for x in r.collect()} == {(2, 1), (3, 2), (1, 3)}
+
+
+def test_ratings_reader(spark, tmp_path):
+    p = tmp_path / "ratings.txt"
+    p.write_text("1 10 4.5\n2 10 3.0\n")
+    df = read_ratings(spark, str(p))
+    assert {(r.user, r.item, r.rating) for r in df.collect()} == {(1, 10, 4.5), (2, 10, 3.0)}
+
+
+def test_write_round_trip(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("1 2 0.5\n2 3 1.5\n")
+    e = read_edge_list(spark, str(p))
+    out = tmp_path / "out"
+    write_edge_list(e, str(out))
+    back = read_edge_list(spark, str(out), sep="\t")
+    assert {(r.src, r.dst, r.weight) for r in back.collect()} == {
+        (1, 2, 0.5), (2, 3, 1.5)
+    }
+    adj_out = tmp_path / "adj"
+    write_adjacency_list(e, str(adj_out))
+    lines = sorted(
+        line for f in adj_out.glob("part-*") for line in f.read_text().splitlines()
+    )
+    assert lines == ["1\t2", "2\t3"]
