@@ -1,0 +1,43 @@
+"""Structural plan assertions — the performance contract as tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from okapi_spark.graph.graph import Graph
+from okapi_spark.plans.inspect import count_broadcast_joins, count_exchanges
+from okapi_spark.sources.synth_graph import generate_edges
+
+
+def test_superstep_message_plan_zero_exchange(spark):
+    """In broadcast-state mode the per-superstep message aggregation
+    must contain zero shuffle exchanges: edges cached by dst +
+    broadcast state makes groupBy(dst) partition-complete."""
+    e = generate_edges(spark, 50_000, 2_000)
+    g = Graph.from_edges(e)
+    shares = g.by_dst(8).select("src", "dst", (F.lit(1.0)).alias("share"))
+    shares.count()  # materialize the dst-partitioned cache
+    state = g.vertices().select(F.col("id").alias("src"), F.lit(0.1).alias("rank"))
+    msgs = (
+        shares.join(F.broadcast(state), "src")
+        .select("dst", (F.col("rank") * F.col("share")).alias("m"))
+        .groupBy("dst")
+        .agg(F.sum("m").alias("msum"))
+    )
+    assert count_exchanges(msgs) == 0, "superstep plan must not shuffle"
+    assert count_broadcast_joins(msgs) == 1
+
+
+def test_naive_plan_does_shuffle(spark):
+    """Control: the same aggregation WITHOUT the dst layout shuffles —
+    proving the inspection actually measures something."""
+    e = generate_edges(spark, 50_000, 2_000)
+    state = (
+        e.select(F.col("src").alias("id")).distinct().select("id", F.lit(0.1).alias("rank"))
+    )
+    msgs = (
+        e.join(state.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum("rank").alias("msum"))
+    )
+    assert count_exchanges(msgs) >= 1
