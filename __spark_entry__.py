@@ -117,6 +117,34 @@ def _q_sssp(spark, sf_dir):
     return sssp(g, int(src)).state
 
 
+def _q_jaccard(spark, sf_dir):
+    from okapi_spark.operators.similarity import jaccard
+
+    g = _graph(spark, sf_dir)
+    return jaccard(g).select("u", "v", F.round("sim", 9).alias("sim"))
+
+
+def _q_adamic_adar(spark, sf_dir):
+    from okapi_spark.operators.similarity import adamic_adar
+
+    g = _graph(spark, sf_dir)
+    return adamic_adar(g).select("u", "v", F.round("aa", 9).alias("aa"))
+
+
+def _q_clustering_coef(spark, sf_dir):
+    from okapi_spark.operators.similarity import clustering_coefficient
+
+    g = _graph(spark, sf_dir)
+    return clustering_coefficient(g).select("id", F.round("coeff", 9).alias("coeff"))
+
+
+def _q_kcore(spark, sf_dir):
+    from okapi_spark.operators.kcore import kcore_vertices
+
+    g = _graph(spark, sf_dir)
+    return kcore_vertices(g, k=80)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings / events views)
 # ---------------------------------------------------------------------------
@@ -182,6 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_10": _q_pagerank10,
         "lpa_4": _q_lpa4,
         "sssp_hops": _q_sssp,
+        "jaccard": _q_jaccard,
+        "adamic_adar": _q_adamic_adar,
+        "clustering_coef": _q_clustering_coef,
+        "kcore_80": _q_kcore,
         # training-data pipeline suite
         "doc_stats": _q_doc_stats,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -401,6 +433,84 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+_SIM_CTE = """
+adj AS (SELECT DISTINCT src, dst FROM edges),
+degj AS (SELECT src AS id, COUNT(*) AS deg FROM adj GROUP BY src),
+linked AS (SELECT src AS u, dst AS v FROM adj WHERE src < dst),
+cn AS (
+  SELECT a.src AS u, b.src AS v, COUNT(*) AS common
+  FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+  JOIN linked l ON l.u = a.src AND l.v = b.src
+  GROUP BY a.src, b.src
+)
+"""
+
+_JACCARD_SQL = (
+    "WITH " + _EDGES_CTE + ", " + _SIM_CTE.strip().lstrip() + """
+SELECT l.u, l.v,
+       ROUND(COALESCE(c.common, 0)::DOUBLE / (du.deg + dv.deg - COALESCE(c.common, 0)), 9) AS sim
+FROM linked l
+LEFT JOIN cn c ON c.u = l.u AND c.v = l.v
+JOIN degj du ON du.id = l.u JOIN degj dv ON dv.id = l.v"""
+)
+
+_AA_SQL = (
+    "WITH " + _EDGES_CTE + """,
+adj AS (SELECT DISTINCT src, dst FROM edges),
+degj AS (SELECT src AS id, COUNT(*) AS deg FROM adj GROUP BY src),
+linked AS (SELECT src AS u, dst AS v FROM adj WHERE src < dst),
+aa AS (
+  SELECT a.src AS u, b.src AS v, SUM(ln(1.0 / d.deg)) AS s
+  FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+  JOIN linked l ON l.u = a.src AND l.v = b.src
+  JOIN degj d ON d.id = a.dst
+  GROUP BY a.src, b.src
+)
+SELECT l.u, l.v, ROUND(COALESCE(aa.s, 0.0), 9) AS aa
+FROM linked l LEFT JOIN aa ON aa.u = l.u AND aa.v = l.v"""
+)
+
+_COEF_SQL = (
+    "WITH " + _EDGES_CTE + """,
+adj AS (SELECT DISTINCT src, dst FROM edges),
+degj AS (SELECT src AS id, COUNT(*) AS deg FROM adj GROUP BY src),
+tri AS (
+  SELECT e1.src AS low, e1.dst AS mid, e2.dst AS high
+  FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src
+  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT low AS id FROM tri UNION ALL SELECT mid FROM tri UNION ALL SELECT high FROM tri
+),
+tcount AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+SELECT d.id,
+       ROUND(CASE WHEN d.deg > 1
+             THEN 2.0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1))
+             ELSE 0.0 END, 9) AS coeff
+FROM degj d LEFT JOIN tcount t ON t.id = d.id"""
+)
+
+
+def _kcore_sql(k: int = 100, rounds: int = 8) -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # twice, so default CTE inlining duplicates the base scan 3^rounds
+    # times (observed: fd exhaustion on the parquet file)
+    ctes = ["k0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM k{i-1} GROUP BY src),
+k{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM k{i-1} e
+  JOIN d{i} a ON a.src = e.src AND a.c >= {k}
+  JOIN d{i} b ON b.src = e.dst AND b.c >= {k}
+)"""
+        )
+    return (
+        "WITH " + _EDGES_CTE + ", " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT src AS id FROM k{rounds}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "degree": "WITH " + _EDGES_CTE + "\nSELECT id, degree FROM deg",
@@ -427,6 +537,10 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "pagerank_10": _pagerank_sql(10),
         "lpa_4": _lpa_sql(4),
         "sssp_hops": _sssp_sql(6),
+        "jaccard": _JACCARD_SQL,
+        "adamic_adar": _AA_SQL,
+        "clustering_coef": _COEF_SQL,
+        "kcore_80": _kcore_sql(80, 8),
         "doc_stats": _DOC_STATS_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "minhash_lsh_dups": _MINHASH_SQL,

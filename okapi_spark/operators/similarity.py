@@ -54,10 +54,7 @@ def jaccard(graph: Graph, distance: bool = False, approx: bool = False) -> DataF
     ``distance=True`` applies the 1/s − 1 transform (:187-200,364-378,
     ∞ clamped to Double.MAX_VALUE in the reference — here null)."""
     if approx:
-        raise NotImplementedError(
-            "Bloom-filter approximation (Jaccard.java:212-243) is strictly "
-            "worse than the exact join under Spark; use approx=False"
-        )
+        return jaccard_approx(graph, distance=distance)
     adj = _adj(graph)
     deg = adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     linked = adj.filter(F.col("src") < F.col("dst")).select(
@@ -81,6 +78,38 @@ def jaccard(graph: Graph, distance: bool = False, approx: bool = False) -> DataF
             "u", "v",
             F.when(F.col("sim") > 0, 1.0 / F.col("sim") - 1.0).alias("sim"),
         )
+    return out
+
+
+def jaccard_approx(graph: Graph, num_hashes: int = 16, distance: bool = False) -> DataFrame:
+    """Approximate per-edge Jaccard via MinHash agreement.
+
+    The reference's approximation is a Bloom filter of the
+    neighborhood traded over messages (Jaccard.java:212-243,
+    jaccard.bloom.filter.bits). Under Spark, shipping per-vertex
+    sketches through a join costs the same shuffle as exact counting,
+    so the idiomatic sketch is MinHash: sim ≈ fraction of the
+    ``num_hashes`` per-vertex min-hashes that agree — unbiased for
+    Jaccard, O(num_hashes) state per vertex, same failure envelope as
+    the Bloom variant (overestimate variance ~ 1/√m)."""
+    adj = _adj(graph)
+    mins = adj.groupBy(F.col("src").alias("id")).agg(
+        *[F.min(F.xxhash64("dst", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    linked = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    agree = sum(
+        F.when(F.col(f"uh.h{i}") == F.col(f"vh.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    out = (
+        linked.join(mins.alias("uh"), F.col("u") == F.col("uh.id"))
+        .join(mins.alias("vh"), F.col("v") == F.col("vh.id"))
+        .select("u", "v", (agree / F.lit(float(num_hashes))).alias("sim"))
+    )
+    if distance:
+        out = out.select("u", "v", F.when(F.col("sim") > 0, 1.0 / F.col("sim") - 1.0).alias("sim"))
     return out
 
 

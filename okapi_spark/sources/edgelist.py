@@ -73,6 +73,38 @@ def read_ratings(
     )
 
 
+def read_points(spark: SparkSession, path: str, sep: str = DEFAULT_SEP) -> DataFrame:
+    """(id long, features array<double>) from ``id c1,c2,...`` lines —
+    KMeansTextInputFormat parity (clustering/kmeans/KMeansTextInputFormat.java:23)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), sep)
+    coords = F.transform(F.split(parts[1], ","), lambda x: x.cast("double"))
+    return lines.filter(F.length(F.trim("value")) > 0).select(
+        parts[0].cast("long").alias("id"), coords.alias("features")
+    )
+
+
+def read_vertex_values(spark: SparkSession, path: str, value_name: str = "part",
+                       sep: str = DEFAULT_SEP) -> DataFrame:
+    """(id long, <value_name> long) from ``id value`` lines —
+    SpinnerVertexValueInputFormat parity (spinner/Spinner.java:919-954)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), sep)
+    return lines.filter(F.length(F.trim("value")) > 0).select(
+        parts[0].cast("long").alias("id"), parts[1].cast("long").alias(value_name)
+    )
+
+
+def read_id_list(spark: SparkSession, path: str) -> DataFrame:
+    """(id long) one id per line — SybilRank trusted-vertex list parity
+    (graphs/SybilRank.java:321-350)."""
+    return (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.trim("value").cast("long").alias("id"))
+    )
+
+
 def write_edge_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
     """LongDoubleTextEdgeOutputFormat parity: one ``src dst w`` line per
     edge."""
