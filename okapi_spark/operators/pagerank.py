@@ -25,13 +25,21 @@ Two physical strategies, same fixpoint:
   classic two-shuffle plan: state shuffles into the src join,
   Catalyst partial aggregation combines messages map-side.
 * ``mode="csr"`` — partition-local sparse gather-scatter (north rule):
-  edges and ranks co-grouped on pmod(xxhash64(src), P); inside an
-  Arrow-batched pandas UDF the partition's adjacency is packed into
-  CSR-style NumPy arrays (cached per worker across supersteps) and
-  partial per-dst sums are emitted via ``np.add.at`` — zero per-row
-  Python — followed by one final groupBy(dst) reduction. Map-side
-  combining shrinks the shuffle from |E| rows to |distinct dst per
-  partition| rows.
+  edges are hash-partitioned by pmod(xxhash64(dst), P) and cached; the
+  rank state is collected to two sorted NumPy arrays and broadcast via
+  ``SparkContext.broadcast`` each superstep. Inside an Arrow-batched
+  pandas UDF each partition packs its adjacency into CSR-style NumPy
+  index arrays once (cached worker-side across supersteps, keyed by
+  (epoch, pid)); gather = vectorized ``searchsorted`` into the
+  broadcast ranks, scatter = ``np.add.at`` per local dst — zero
+  per-row Python AND zero shuffle: because the partition owns ALL
+  in-edges of its dst's, the partial sums are final. The remaining
+  per-superstep cost is the Arrow transfer of the edge columns into
+  the Python workers — the price of Python kernels; the SQL mode keeps
+  everything JVM-side and is the default.
+* ``mode="csr_cogroup"`` — the earlier variant (src-partitioned
+  cogroup of edges with state + final groupBy(dst)); kept for
+  reference/comparison.
 """
 
 from __future__ import annotations
@@ -89,6 +97,9 @@ def pagerank(
         )
 
     if mode == "csr":
+        shares = shares.withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+        shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
+    elif mode == "csr_cogroup":
         shares = shares.withColumn("pid", F.pmod(F.xxhash64("src"), F.lit(num_partitions)).cast("int"))
         shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
     elif state_broadcast is None:
@@ -109,6 +120,8 @@ def pagerank(
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
+            msgs = _csr_messages_bcast(shares, state, epoch)
+        elif mode == "csr_cogroup":
             msgs = _csr_messages(shares, state, num_partitions, epoch)
         else:
             ranks = state.select("id", "rank").withColumnRenamed("id", "src")
@@ -152,6 +165,40 @@ def pagerank(
         )
     result.state = result.state.select("id", "rank")
     return result
+
+
+def _csr_messages_bcast(shares: DataFrame, state: DataFrame, epoch: int) -> DataFrame:
+    """dst-partitioned CSR gather-scatter with numpy-broadcast state:
+    the partition owns every in-edge of its dst's, so the per-dst sums
+    it emits are FINAL — no message shuffle at all."""
+    import numpy as np
+
+    spark = state.sparkSession
+    pdf = state.select("id", "rank").toPandas()
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    b = spark.sparkContext.broadcast((ids[order], pdf["rank"].to_numpy()[order]))
+
+    def kernel(key, edges_pdf):
+        pid = int(key[0])
+        ck = ("bcast", epoch, pid)
+        packed = _CSR_CACHE.get(ck)
+        if packed is None or len(packed[0]) != len(edges_pdf):
+            src = edges_pdf["src"].to_numpy()
+            dst = edges_pdf["dst"].to_numpy()
+            share = edges_pdf["share"].to_numpy()
+            uniq_dst, inv = np.unique(dst, return_inverse=True)
+            packed = (src, share, uniq_dst, inv)
+            _CSR_CACHE[ck] = packed
+        src, share, uniq_dst, inv = packed
+        rid, rv = b.value
+        pos = np.searchsorted(rid, src)
+        contrib = rv[pos] * share
+        out = np.zeros(len(uniq_dst), dtype="float64")
+        np.add.at(out, inv, contrib)
+        return pd.DataFrame({"dst": uniq_dst, "msum": out})
+
+    return shares.groupBy("pid").applyInPandas(kernel, schema="dst long, msum double")
 
 
 def _csr_messages(shares: DataFrame, state: DataFrame, p: int, epoch: int) -> DataFrame:

@@ -26,7 +26,7 @@ def _er_graph(n=120, p=0.05, seed=3):
     return edges
 
 
-@pytest.mark.parametrize("mode", ["sql", "csr"])
+@pytest.mark.parametrize("mode", ["sql", "csr", "csr_cogroup"])
 def test_pagerank_toy(spark, mode):
     edges = toy_edges(spark, FIVE_VERTEX)
     g = Graph.from_edges(edges)
@@ -38,7 +38,7 @@ def test_pagerank_toy(spark, mode):
         assert abs(got[v] - r) < 1e-6
 
 
-@pytest.mark.parametrize("mode", ["sql", "csr"])
+@pytest.mark.parametrize("mode", ["sql", "csr", "csr_cogroup"])
 def test_pagerank_erdos_renyi(spark, mode):
     edges = _er_graph()
     g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long, weight double"))
