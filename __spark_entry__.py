@@ -425,10 +425,10 @@ s AS (
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM e
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        ROUND(MIN(epoch(ts)), 6) AS started_s,
        ROUND(MAX(epoch(ts)), 6) AS ended_s,
-       ROUND(SUM(value), 9) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 9))), 9) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_id
 """
 

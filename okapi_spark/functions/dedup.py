@@ -207,20 +207,46 @@ def simhash_near_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 2
 ) -> DataFrame:
     """(a, b, hamming) pairs with SimHash Hamming distance ≤ k.
-    Blocking: two half-signature bands — any pair within Hamming ≤ 2
-    of a 16-bit signature shares at least one exact half (pigeonhole
-    for k≤1 per half; k=2 may split 1+1, so we block on both halves
-    separately which still catches splits 0+2/2+0 and verify 1+1 via
-    the band join on either half match)."""
-    s = simhash16(df, text_col, id_col)
-    lo = F.col("simhash").bitwiseAND(F.lit(0xFF))
-    hi = F.shiftright(F.col("simhash"), 8).bitwiseAND(F.lit(0xFF))
-    banded = s.select("id", "simhash", lo.alias("lo"), hi.alias("hi"))
+
+    Blocking: four 4-bit bands of the 16-bit signature, self-equi-joined
+    on (band_id, band_value). Pigeonhole: k differing bits touch at most
+    k of the 4 bands, so for ``max_hamming ≤ 3`` at least one band is
+    bit-identical and the pair is guaranteed to be a candidate
+    (recall-complete). For k ≥ 4 the 4 bits can split 1+1+1+1 across all
+    bands and the pair is missed — callers needing k ≥ 4 must widen the
+    signature or the band count. The band join is a uniform-key
+    equi-join (no OR-predicate cross join), so it scales like the
+    MinHash LSH bucket join above.
+    """
+    return simhash_pairs(simhash16(df, text_col, id_col), max_hamming)
+
+
+def simhash_pairs(s: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Banded near-dup pairs over an (id, simhash) DataFrame — see
+    :func:`simhash_near_dups` for the recall guarantee."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_dups 4-band blocking is recall-complete only for "
+            f"max_hamming <= 3 (got {max_hamming}); widen bands/signature instead"
+        )
+    bands = [
+        s.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(0xF)).alias("bval"),
+        )
+        for b in range(4)
+    ]
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
-            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

@@ -26,11 +26,16 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
+    # decimal sum: exact, order-insensitive addition, so the result is
+    # identical regardless of partition count / merge order (float sums
+    # are not, which shows up as last-bit divergence vs serial oracles)
     return with_sid.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("started"),
         F.max("ts").alias("ended"),
-        F.round(F.sum("value"), 9).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(38,9)")), 9)
+        .cast("double")
+        .alias("total_value"),
     )
 
 

@@ -87,6 +87,36 @@ def test_simhash(spark, docs_df):
     assert (1, 2) in near and near[(1, 2)] == 0
 
 
+def test_simhash_banding_catches_split_hamming2(spark):
+    """Planted Hamming-2 pair whose two differing bits split 1+1 across
+    the 8-bit halves (bits 0 and 8) — the old lo/hi half-blocking missed
+    exactly this case; 4×4-bit bands must catch it (bands 1 and 3 still
+    match). Plus pigeonhole completeness vs brute force on adversarial
+    signatures."""
+    from okapi_spark.functions.dedup import simhash_pairs
+
+    sigs = [
+        (1, 0x0000),
+        (2, 0x0101),  # bits 0 and 8 → 1 bit per half, hamming 2 from id 1
+        (3, 0x1110),  # bits 4, 8, 12 → hamming 3 from id 1, 1+1+1 split
+        (4, 0xFFFF),  # far from everything
+    ]
+    s = spark.createDataFrame(sigs, "id long, simhash int")
+    got = {(r.a, r.b): r.hamming for r in simhash_pairs(s, max_hamming=3).collect()}
+    # brute-force oracle
+    want = {}
+    for i, (ia, ha) in enumerate(sigs):
+        for ib, hb in sigs[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 3:
+                want[(ia, ib)] = d
+    assert got == want
+    assert got[(1, 2)] == 2  # the planted 1+1 split survives
+
+    with pytest.raises(ValueError):
+        simhash_pairs(s, max_hamming=4)
+
+
 def _embeddings(spark, n=40, dim=8, seed=7):
     rng = np.random.default_rng(seed)
     rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
