@@ -6,11 +6,19 @@ own label and incoming neighbor labels, and propagates ONLY on
 improvement (send-on-change, lines 80-94) — the frontier shrinks every
 superstep, converging when no label changes. Exact integer fixpoint.
 
-Spark plan per superstep: scatter = frontier ⋈ edges on src (the
-frontier is broadcast when small — SURVEY.md §4.2.5), combine =
-groupBy(dst).min (Catalyst partial agg = Giraph's combiner), apply =
-left join against state + ``least``. State carries a ``changed`` flag
-so the loop's halt condition is a metric already computed by the agg.
+Spark plan per superstep — two physical strategies, same fixpoint:
+
+* broadcast mode (auto when |V| ≤ ``broadcast_threshold``): edges
+  cached partitioned by dst, frontier broadcast into the src join →
+  groupBy(dst).min is partition-complete, ZERO shuffle exchanges.
+* shuffle mode (cluster-scale |V|): edges stay in their cached
+  src-partitioned layout; the frontier shuffles into the join and
+  groupBy(dst) shuffles messages (classic two-shuffle plan, map-side
+  partial min = Giraph's combiner). Because HashMin's frontier is
+  send-on-change it SHRINKS every superstep, so once the previous
+  round's changed-count drops under ``BROADCAST_FRONTIER_ROWS`` the
+  loop flips the frontier side to a broadcast join adaptively —
+  late supersteps on a 10^10-vertex graph still get the cheap plan.
 """
 
 from __future__ import annotations
@@ -31,26 +39,50 @@ def connected_components(
     max_supersteps: int = 200,
     store: CheckpointStore | None = None,
     num_partitions: int | None = None,
+    state_broadcast: bool | None = None,
+    broadcast_threshold: int = 20_000_000,
+    frontier_broadcast_rows: int | None = None,
 ) -> BSPResult:
-    """Returns BSPResult state (id long, comp long)."""
+    """Returns BSPResult state (id long, comp long).
+
+    ``state_broadcast``: force the zero-exchange broadcast plan (True),
+    the two-shuffle cluster-scale plan (False), or auto by |V| vs
+    ``broadcast_threshold`` (None). In shuffle mode the frontier is
+    still broadcast adaptively once its row count (known exactly from
+    the previous superstep's changed-metric) drops below
+    ``BROADCAST_FRONTIER_ROWS``.
+    """
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
-    # dst-partitioned scatter layout: frontier broadcast + partition-
-    # complete min-agg ⇒ zero shuffle exchanges per superstep
-    edges = graph.by_dst(num_partitions).select("src", "dst")
     vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices.count()
+    n = vertices.count()
+    if state_broadcast is None:
+        state_broadcast = n <= broadcast_threshold
+    if frontier_broadcast_rows is None:
+        frontier_broadcast_rows = BROADCAST_FRONTIER_ROWS
+
+    if state_broadcast:
+        # dst-partitioned scatter layout: frontier broadcast + partition-
+        # complete min-agg ⇒ zero shuffle exchanges per superstep
+        edges = graph.by_dst(num_partitions).select("src", "dst")
+    else:
+        # cluster-scale: reuse the cached src layout; messages shuffle
+        edges = graph.edges.select("src", "dst")
 
     # superstep 0 of the reference folds the local min over neighbors;
     # here the uniform loop does it — same fixpoint, one extra round.
     state0 = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
 
     n_edges = graph.num_edges()
+    # frontier size from the previous superstep's metric (|V| at ss 0)
+    last_changed = [n]
 
     def superstep(ss: int, state: DataFrame):
-        frontier = F.broadcast(state.filter("changed").select(F.col("id").alias("src"), "comp"))
+        frontier = state.filter("changed").select(F.col("id").alias("src"), "comp")
+        if state_broadcast or last_changed[0] <= frontier_broadcast_rows:
+            frontier = F.broadcast(frontier)
         msgs = (
             edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))
@@ -64,6 +96,7 @@ def connected_components(
 
         def post(materialized: DataFrame) -> dict:
             n_changed = materialized.filter("changed").count()
+            last_changed[0] = n_changed
             return {"changed": n_changed, "edges_processed": n_edges}
 
         return new_state, post

@@ -47,33 +47,51 @@ def label_propagation(
     weighted: bool = True,
     store: CheckpointStore | None = None,
     num_partitions: int | None = None,
+    state_broadcast: bool | None = None,
+    broadcast_threshold: int = 20_000_000,
 ) -> BSPResult:
     """Classic synchronous LPA. Returns state (id long, lbl long).
 
     ``iterations``: run exactly that many rounds (oracle-parity mode);
     otherwise run to no-change / oscillation / max_supersteps.
+
+    ``state_broadcast``: LPA's label state is a full |V|-row table
+    every round (unlike CC there is no shrinking frontier), so the
+    zero-exchange broadcast plan is only safe when |V| fits a
+    broadcast — auto-selected vs ``broadcast_threshold``; above it the
+    classic two-shuffle plan runs (state shuffles into the src join,
+    histogram agg combines map-side).
     """
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     w_col = F.col("weight") if weighted else F.lit(1.0)
-    # dst-partitioned scatter layout (see Graph.by_dst): labels are
-    # broadcast into the src join; groupBy(dst, lbl) and the argmax
-    # groupBy(dst) are both partition-complete ⇒ zero exchanges
-    edges = graph.by_dst(num_partitions).select("src", "dst", w_col.alias("weight"))
 
     vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices.count()
+    n = vertices.count()
+    if state_broadcast is None:
+        state_broadcast = n <= broadcast_threshold
+
+    if state_broadcast:
+        # dst-partitioned scatter layout (see Graph.by_dst): labels are
+        # broadcast into the src join; groupBy(dst, lbl) and the argmax
+        # groupBy(dst) are both partition-complete ⇒ zero exchanges
+        edges = graph.by_dst(num_partitions).select("src", "dst", w_col.alias("weight"))
+    else:
+        edges = graph.edges.select("src", "dst", w_col.alias("weight"))
+
     state0 = vertices.select("id", F.col("id").alias("lbl"))
 
     def superstep(ss: int, state: DataFrame):
+        labels = (
+            state.select("id", "lbl")
+            .withColumnRenamed("id", "src")
+            .withColumnRenamed("lbl", "slbl")
+        )
+        if state_broadcast:
+            labels = F.broadcast(labels)
         hist = (
-            edges.join(
-                F.broadcast(
-                    state.select("id", "lbl").withColumnRenamed("id", "src").withColumnRenamed("lbl", "slbl")
-                ),
-                "src",
-            )
+            edges.join(labels, "src")
             .groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
             .agg(F.sum("weight").alias("w"))
         )

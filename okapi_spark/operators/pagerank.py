@@ -44,6 +44,8 @@ Two physical strategies, same fixpoint:
 
 from __future__ import annotations
 
+import itertools
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,9 +54,15 @@ from pyspark.storagelevel import StorageLevel
 from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
 from okapi_spark.graph.graph import Graph
 
-# worker-global CSR cache: (epoch, pid) -> packed arrays; reused across
-# supersteps because Spark reuses Python workers (spark.python.worker.reuse).
+# worker-global CSR cache: (mode, epoch, pid) -> packed arrays; reused
+# across supersteps because Spark reuses Python workers
+# (spark.python.worker.reuse). The epoch is a driver-side monotonic
+# counter drawn fresh per pagerank() call — NOT id(graph), which CPython
+# reuses after GC and would let a second Graph at the same address
+# silently hit a stale adjacency. Entries from older epochs are pruned
+# on first touch so worker memory stays bounded across calls.
 _CSR_CACHE: dict = {}
+_EPOCH_COUNTER = itertools.count(1)
 
 
 def pagerank(
@@ -96,6 +104,16 @@ def pagerank(
             "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
         )
 
+    if mode in ("csr", "csr_cogroup") and n > broadcast_threshold:
+        # both csr modes move the full |V|-row rank state through the
+        # driver every superstep (toPandas + sc.broadcast) — beyond the
+        # broadcast threshold that is a guaranteed driver OOM, so the
+        # guard is shared with the sql-mode state_broadcast switch.
+        raise ValueError(
+            f"mode={mode!r} broadcasts the full rank state each superstep; "
+            f"|V|={n} exceeds broadcast_threshold={broadcast_threshold}. "
+            "Use mode='sql' (auto-selects the shuffle plan at this scale)."
+        )
     if mode == "csr":
         shares = shares.withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
         shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
@@ -114,13 +132,14 @@ def pagerank(
 
     state0 = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
-    epoch = id(graph)  # CSR cache namespace for this graph instance
+    epoch = next(_EPOCH_COUNTER)  # unique CSR cache namespace per call
+    bcast_slot: list = [None]  # previous superstep's rank broadcast
 
     n_edges = graph.num_edges()
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
-            msgs = _csr_messages_bcast(shares, state, epoch)
+            msgs = _csr_messages_bcast(shares, state, epoch, bcast_slot)
         elif mode == "csr_cogroup":
             msgs = _csr_messages(shares, state, num_partitions, epoch)
         else:
@@ -164,10 +183,17 @@ def pagerank(
             store=store,
         )
     result.state = result.state.select("id", "rank")
+    if bcast_slot[0] is not None:
+        # result.state is materialized by run_supersteps, so the last
+        # superstep's rank broadcast is no longer referenced
+        bcast_slot[0].destroy()
+        bcast_slot[0] = None
     return result
 
 
-def _csr_messages_bcast(shares: DataFrame, state: DataFrame, epoch: int) -> DataFrame:
+def _csr_messages_bcast(
+    shares: DataFrame, state: DataFrame, epoch: int, bcast_slot: list | None = None
+) -> DataFrame:
     """dst-partitioned CSR gather-scatter with numpy-broadcast state:
     the partition owns every in-edge of its dst's, so the per-dst sums
     it emits are FINAL — no message shuffle at all."""
@@ -178,12 +204,21 @@ def _csr_messages_bcast(shares: DataFrame, state: DataFrame, epoch: int) -> Data
     ids = pdf["id"].to_numpy()
     order = np.argsort(ids, kind="stable")
     b = spark.sparkContext.broadcast((ids[order], pdf["rank"].to_numpy()[order]))
+    if bcast_slot is not None:
+        if bcast_slot[0] is not None:
+            # previous superstep's state is materialized (localCheckpoint
+            # or parquet) before this one runs — safe to free its blocks
+            bcast_slot[0].destroy()
+        bcast_slot[0] = b
 
     def kernel(key, edges_pdf):
         pid = int(key[0])
         ck = ("bcast", epoch, pid)
         packed = _CSR_CACHE.get(ck)
-        if packed is None or len(packed[0]) != len(edges_pdf):
+        if packed is None:
+            # prune packs from older epochs (finished pagerank() calls)
+            for k in [k for k in _CSR_CACHE if k[1] != epoch]:
+                _CSR_CACHE.pop(k, None)
             src = edges_pdf["src"].to_numpy()
             dst = edges_pdf["dst"].to_numpy()
             share = edges_pdf["share"].to_numpy()
@@ -211,9 +246,11 @@ def _csr_messages(shares: DataFrame, state: DataFrame, p: int, epoch: int) -> Da
         # cogroup hands full pandas frames (not iterators) per key
         edges_pdf, ranks_pdf = edges_it, ranks_pdf_it
         pid = int(key[0])
-        ck = (epoch, pid)
+        ck = ("cog", epoch, pid)
         packed = _CSR_CACHE.get(ck)
-        if packed is None or len(packed[0]) != len(edges_pdf):
+        if packed is None:
+            for k in [k for k in _CSR_CACHE if k[1] != epoch]:
+                _CSR_CACHE.pop(k, None)
             # pack: factorize src against a sorted unique index so rank
             # lookup is a vectorized searchsorted, not a hash probe
             src = edges_pdf["src"].to_numpy()

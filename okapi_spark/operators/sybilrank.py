@@ -32,26 +32,38 @@ def sybilrank(
     trusted: DataFrame,
     iteration_multiplier: float = 1.0,
     total_trust: float | None = None,
+    state_broadcast: bool | None = None,
+    broadcast_threshold: int = 20_000_000,
 ) -> BSPResult:
     """trusted: (id long). Returns state (id long, rank double) where
-    rank is the degree-normalized trust after the final iteration."""
+    rank is the degree-normalized trust after the final iteration.
+
+    ``state_broadcast``: the trust state is |V| rows every power
+    iteration, so the zero-exchange broadcast plan is auto-gated on
+    |V| ≤ ``broadcast_threshold``; above it the classic two-shuffle
+    plan runs (state shuffles into the src join, map-side partial sum
+    combines messages).
+    """
     spark = graph.edges.sparkSession
     vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
     if total_trust is None:
         total_trust = float(n)
+    if state_broadcast is None:
+        state_broadcast = n <= broadcast_threshold
     n_trusted = trusted.select("id").distinct().count()
     if n_trusted == 0:
         raise ValueError("sybilrank needs at least one trusted vertex")
     power_iterations = int(math.ceil(iteration_multiplier * math.log10(n))) or 1
 
     deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
-    # dst-partitioned scatter layout + broadcast state (see Graph.by_dst)
-    shares = (
-        graph.edges.join(deg.withColumnRenamed("id", "src"), "src")
-        .select("src", "dst", (F.col("weight") / F.col("deg")).alias("share"))
-        .repartition("dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shares = graph.edges.join(deg.withColumnRenamed("id", "src"), "src").select(
+        "src", "dst", (F.col("weight") / F.col("deg")).alias("share")
+    )
+    # broadcast mode: dst-partitioned scatter layout (see Graph.by_dst);
+    # shuffle mode: src layout so the state equi-join co-locates on src
+    shares = shares.repartition("dst" if state_broadcast else "src").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     shares.count()
 
@@ -62,8 +74,11 @@ def sybilrank(
     )
 
     def superstep(ss: int, state: DataFrame):
+        sends = state.select("id", "send").withColumnRenamed("id", "src")
+        if state_broadcast:
+            sends = F.broadcast(sends)
         recv = (
-            shares.join(F.broadcast(state.select("id", "send").withColumnRenamed("id", "src")), "src")
+            shares.join(sends, "src")
             .select("dst", (F.col("send") * F.col("share")).alias("m"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("m").alias("recv"))

@@ -38,6 +38,26 @@ def test_cc_multi_component(spark):
     assert got == want
 
 
+def test_cc_shuffle_branch_matches_broadcast(spark):
+    """The cluster-scale two-shuffle plan (state_broadcast=False, no
+    adaptive frontier broadcast) must reach the identical fixpoint as
+    the zero-exchange broadcast plan."""
+    rng = np.random.default_rng(23)
+    edges = [
+        (int(rng.integers(1, 200)), int(rng.integers(1, 200)), 1.0) for _ in range(260)
+    ]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res_b = connected_components(g, max_supersteps=100, state_broadcast=True)
+    res_s = connected_components(
+        g, max_supersteps=100, state_broadcast=False, frontier_broadcast_rows=0
+    )
+    assert res_b.converged and res_s.converged
+    got_b = {r.id: r.comp for r in res_b.state.collect()}
+    got_s = {r.id: r.comp for r in res_s.state.collect()}
+    assert got_b == got_s
+
+
 def test_cc_random_graph(spark):
     rng = np.random.default_rng(11)
     edges = [

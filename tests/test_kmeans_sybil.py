@@ -65,3 +65,10 @@ def test_sybilrank_oracle(spark):
     want = sybil_oracle(sym, trusted_ids, iters, len(present))
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+    # cluster-scale two-shuffle branch reaches the identical trust vector
+    res_s = sybilrank(g, trusted, state_broadcast=False)
+    got_s = {r.id: r.rank for r in res_s.state.collect()}
+    # (approx: float sum order differs between the two physical plans)
+    for v in want:
+        assert got_s[v] == pytest.approx(got[v], rel=1e-12, abs=1e-15), v

@@ -55,6 +55,19 @@ def test_lpa_fixed_iterations_matches_oracle(spark):
         assert got == want, f"iterations={iters}"
 
 
+def test_lpa_shuffle_branch_matches_broadcast(spark):
+    """The cluster-scale two-shuffle plan must compute the identical
+    label fixpoint as the zero-exchange broadcast plan."""
+    edges = _two_communities()
+    g = Graph.from_edges(toy_edges(spark, edges))
+    for iters in (2, 4):
+        res_b = label_propagation(g, iterations=iters, state_broadcast=True)
+        res_s = label_propagation(g, iterations=iters, state_broadcast=False)
+        got_b = {r.id: r.lbl for r in res_b.state.collect()}
+        got_s = {r.id: r.lbl for r in res_s.state.collect()}
+        assert got_b == got_s, f"iterations={iters}"
+
+
 def test_lpa_converges_to_two_communities(spark):
     edges = _two_communities()
     g = Graph.from_edges(toy_edges(spark, edges))

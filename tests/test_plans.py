@@ -28,6 +28,43 @@ def test_superstep_message_plan_zero_exchange(spark):
     assert count_broadcast_joins(msgs) == 1
 
 
+def test_fallback_superstep_plan_shape(spark):
+    """The cluster-scale fallback (state_broadcast=False): edges stay
+    in their cached src layout, the state shuffles into the src join
+    (no broadcast of |V|-row state anywhere), and groupBy(dst) shuffles
+    the (combined) messages — bounded shuffles, bounded memory."""
+    e = generate_edges(spark, 50_000, 2_000)
+    g = Graph.from_edges(e)
+    g.edges.count()  # materialize the src-partitioned cache
+    state = g.vertices().select(F.col("id").alias("src"), F.lit(0.1).alias("rank"))
+    msgs = (
+        g.edges.join(state.hint("shuffle_hash"), "src")
+        .select("dst", (F.lit(1.0) * F.col("rank")).alias("m"))
+        .groupBy("dst")
+        .agg(F.sum("m").alias("msum"))
+    )
+    assert count_broadcast_joins(msgs) == 0, "fallback must not broadcast |V|-row state"
+    assert 1 <= count_exchanges(msgs) <= 3
+
+
+def test_cc_adaptive_frontier_broadcast_plan(spark):
+    """CC's shuffle mode flips the shrunk frontier to a broadcast join:
+    the late-superstep message plan with a broadcast frontier over the
+    src-layout edges has exactly one shuffle (the message combine) and
+    one broadcast join."""
+    e = generate_edges(spark, 50_000, 2_000)
+    g = Graph.from_edges(e)
+    g.edges.count()
+    frontier = g.vertices().limit(10).select(F.col("id").alias("src"), F.col("id").alias("comp"))
+    msgs = (
+        g.edges.join(F.broadcast(frontier), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("comp").alias("cand"))
+    )
+    assert count_broadcast_joins(msgs) == 1
+    assert count_exchanges(msgs) == 1
+
+
 def test_naive_plan_does_shuffle(spark):
     """Control: the same aggregation WITHOUT the dst layout shuffles —
     proving the inspection actually measures something."""
