@@ -236,3 +236,51 @@ def precision_at_k(
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     per_user = topk.groupBy("user").agg((F.sum(F.col("is_rel").cast("int")) / k).alias("p"))
     return float(per_user.agg(F.avg("p")).collect()[0][0])
+
+
+def mean_reciprocal_rank(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    relevant: DataFrame,
+    num_samples: int = 100,
+    seed: int = 0,
+    rated: DataFrame | None = None,
+) -> float:
+    """MRR under the same sampled-candidate protocol as
+    :func:`precision_at_k` (cf/eval/RankEvaluationComputation.java
+    :43-172): per user, rank the held-out relevant items among
+    ``num_samples`` hash-sampled unconnected items; score = 1/rank of
+    the first relevant item, averaged over users. This is the metric
+    CLiMF optimizes (smoothed MRR), so it is the protocol-shape check
+    for climf_ranking."""
+    from pyspark.sql import Window
+
+    rel = relevant.select(F.col("user").cast("long"), F.col("item").cast("long"), F.lit(True).alias("is_rel"))
+    users = rel.select("user").distinct()
+    cand = users.crossJoin(item_factors.select(F.col("id").alias("item")))
+    cand = cand.join(rel.select("user", "item"), ["user", "item"], "left_anti")
+    if rated is not None:
+        cand = cand.join(
+            rated.select(F.col("user").cast("long"), F.col("item").cast("long")),
+            ["user", "item"],
+            "left_anti",
+        )
+    w_neg = Window.partitionBy("user").orderBy(F.xxhash64("user", "item", F.lit(seed)))
+    neg = cand.withColumn("rn", F.row_number().over(w_neg)).filter(F.col("rn") <= num_samples).drop("rn")
+    pool = rel.select("user", "item", "is_rel").unionByName(neg.withColumn("is_rel", F.lit(False)))
+    scored = (
+        pool.join(user_factors.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
+        .join(item_factors.withColumnRenamed("id", "item").withColumnRenamed("factors", "ifac"), "item")
+        .select(
+            "user", "item", "is_rel",
+            F.aggregate(F.zip_with("ufac", "ifac", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    per_user = (
+        ranked.filter("is_rel")
+        .groupBy("user")
+        .agg((F.lit(1.0) / F.min("rn")).alias("rr"))
+    )
+    return float(per_user.agg(F.avg("rr")).collect()[0][0])

@@ -6,9 +6,16 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
-from okapi_spark.operators.cf import precision_at_k
-from okapi_spark.operators.ranking import bpr_ranking, popularity_ranking, random_ranking
+from okapi_spark.operators.cf import mean_reciprocal_rank, precision_at_k
+from okapi_spark.operators.ranking import (
+    bpr_ranking,
+    climf_ranking,
+    popularity_ranking,
+    random_ranking,
+    tfmap_ranking,
+)
 from okapi_spark.operators.svdpp import svdpp
 
 RATINGS = [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 3.0), (2, 2, 4.0)]
@@ -75,3 +82,58 @@ def test_bpr_beats_random(spark):
     p_bpr = precision_at_k(bu, bi, test, k=5, num_samples=10, rated=rated)
     p_rnd = precision_at_k(ru, ri, test, k=5, num_samples=10, rated=rated)
     assert p_bpr >= p_rnd
+
+
+def test_bpr_deterministic(spark):
+    """Hash-derived sampling + batch-synchronous deltas: two runs give
+    bit-identical factors (the reference's unseeded worker RNG cannot)."""
+    train, _ = _skewed_ratings(spark)
+    u1, i1 = bpr_ranking(train, vector_size=4, iterations=3)
+    u2, i2 = bpr_ranking(train, vector_size=4, iterations=3)
+    f1 = {r.id: r.factors for r in u1.collect()} | {("i", r.id): r.factors for r in i1.collect()}
+    f2 = {r.id: r.factors for r in u2.collect()} | {("i", r.id): r.factors for r in i2.collect()}
+    assert f1 == f2
+
+
+def test_climf_beats_random_on_mrr(spark):
+    """Protocol shape (README evaluation): CLiMF optimizes smoothed
+    MRR, so its MRR under the sampled-candidate protocol must beat the
+    random floor."""
+    train, test = _skewed_ratings(spark)
+    cu, ci = climf_ranking(train, vector_size=8, iterations=15, gamma=0.1)
+    ru, ri = random_ranking(train, vector_size=8)
+    rated = train.select("user", "item")
+    m_climf = mean_reciprocal_rank(cu, ci, test, num_samples=10, rated=rated)
+    m_rnd = mean_reciprocal_rank(ru, ri, test, num_samples=10, rated=rated)
+    assert m_climf >= m_rnd
+
+
+def test_tfmap_beats_random(spark):
+    """Protocol shape: TFMAP optimizes smoothed MAP; at k=5 with one
+    held-out item per user P@5 is MAP-shaped, so TFMAP ≥ Random."""
+    train, test = _skewed_ratings(spark)
+    tu, ti = tfmap_ranking(train, vector_size=8, iterations=15, gamma=0.1)
+    ru, ri = random_ranking(train, vector_size=8)
+    rated = train.select("user", "item")
+    p_tfmap = precision_at_k(tu, ti, test, k=5, num_samples=10, rated=rated)
+    p_rnd = precision_at_k(ru, ri, test, k=5, num_samples=10, rated=rated)
+    assert p_tfmap >= p_rnd
+
+
+def test_bpr_scales_to_large_item_universe(spark):
+    """The sampling path must not collect the item universe to the
+    driver or build per-item literal expressions: one BPR iteration
+    over a 100k-item universe (distributed zipWithIndex + hash-mod
+    equi-join) completes and returns factors for every item."""
+    n_items = 100_000
+    ratings = (
+        spark.range(n_items)
+        .select(
+            (F.col("id") % 50).alias("user"),
+            F.col("id").alias("item"),
+            F.lit(1.0).alias("rating"),
+        )
+    )
+    uf, itf = bpr_ranking(ratings, vector_size=4, iterations=1)
+    assert uf.count() == 50
+    assert itf.count() == n_items
