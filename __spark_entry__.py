@@ -128,7 +128,11 @@ def _q_adamic_adar(spark, sf_dir):
     from okapi_spark.operators.similarity import adamic_adar
 
     g = _graph(spark, sf_dir)
-    return adamic_adar(g).select("u", "v", F.round("aa", 9).alias("aa"))
+    # 6-dp rounding: java Math.log and DuckDB ln differ by 1 ulp for
+    # some degrees, so the sums differ at ~1e-14; the decimal sum in
+    # adamic_adar makes each engine internally deterministic, and 6 dp
+    # makes a boundary hit (~1e-14/1e-6 per row) vanishingly unlikely
+    return adamic_adar(g).select("u", "v", F.round("aa", 6).alias("aa"))
 
 
 def _q_clustering_coef(spark, sf_dir):
@@ -143,6 +147,63 @@ def _q_kcore(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     return kcore_vertices(g, k=80)
+
+
+def _q_mssp(spark, sf_dir):
+    from okapi_spark.operators.sssp import mssp
+
+    g = _graph(spark, sf_dir)
+    srcs = [int(r.id) for r in g.vertices().orderBy("id").limit(3).collect()]
+    return mssp(g, srcs).state.select("id", "origin", "dist")
+
+
+def _q_sybilrank(spark, sf_dir):
+    from okapi_spark.operators.sybilrank import sybilrank
+
+    g = _graph(spark, sf_dir)
+    # trusted = the 5 smallest part ids; at sf0.01 n=2000 so the
+    # reference's ceil(log10 n) power-iteration count is 4 — the
+    # oracle unrolls exactly 4 (valid for 1000 < n <= 10000)
+    trusted = g.vertices().orderBy("id").limit(5)
+    res = sybilrank(g, trusted)
+    return res.state.select("id", F.round("rank", 9).alias("rank_r"))
+
+
+def _q_bmatching(spark, sf_dir):
+    from okapi_spark.graph.graph import Graph
+    from okapi_spark.operators.bmatching import max_b_matching
+
+    # weighted co-purchase graph (weight = number of shared orders) so
+    # the greedy matching has non-trivial weight ordering
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    g = Graph.from_edges(sym)
+    caps = spark.createDataFrame([], "id long, capacity int")
+    return max_b_matching(g, caps, default_capacity=1, max_rounds=3).select("u", "v", "weight")
+
+
+def _q_kmeans(spark, sf_dir):
+    from okapi_spark.operators.kmeans import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
+    )
+    init = [list(r.features) for r in pts.orderBy("id").limit(4).collect()]
+    assigned, _ = kmeans(pts, k=4, max_iterations=2, tol=0.0, init_centers=init)
+    return assigned.select("id", F.col("cluster").cast("int").alias("cluster"))
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_10": _q_pagerank10,
         "lpa_4": _q_lpa4,
         "sssp_hops": _q_sssp,
+        "mssp_hops": _q_mssp,
+        "sybilrank_4": _q_sybilrank,
+        "bmatching_3": _q_bmatching,
+        "kmeans_2": _q_kmeans,
         "jaccard": _q_jaccard,
         "adamic_adar": _q_adamic_adar,
         "clustering_coef": _q_clustering_coef,
@@ -285,6 +350,151 @@ def _sssp_sql(iters: int = 6) -> str:
 )"""
         )
     return "WITH " + _EDGES_CTE + ", " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{iters}"
+
+
+def _mssp_sql(iters: int = 8, n_sources: int = 3) -> str:
+    ctes = [
+        f"""d0 AS MATERIALIZED (
+  SELECT id, id AS origin, 0.0 AS dist
+  FROM (SELECT id FROM verts ORDER BY id LIMIT {n_sources})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT id, origin, MIN(dist) AS dist FROM (
+    SELECT id, origin, dist FROM d{i-1}
+    UNION ALL
+    SELECT e.dst AS id, d.origin, d.dist + 1.0 AS dist
+    FROM edges e JOIN d{i-1} d ON e.src = d.id
+  ) GROUP BY id, origin
+)"""
+        )
+    return (
+        "WITH " + _EDGES_CTE + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, origin, dist FROM d{iters}"
+    )
+
+
+def _sybilrank_sql(iters: int = 4, n_trusted: int = 5) -> str:
+    # totalTrust = N, trusted seeds get N/|T|; share = w/deg = 1/degree
+    # on the unit-weight co-purchase graph (SybilRank.java:125-189)
+    ctes = [
+        "nv AS (SELECT COUNT(*) AS n FROM verts)",
+        f"tr AS (SELECT id FROM verts ORDER BY id LIMIT {n_trusted})",
+        f"""r0 AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN t.id IS NOT NULL THEN (SELECT n FROM nv)::DOUBLE / {n_trusted}
+              ELSE 0.0 END AS send
+  FROM verts v LEFT JOIN tr t ON v.id = t.id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.s, 0.0) AS send
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.send / d.degree) AS s
+    FROM edges e JOIN r{i-1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+    GROUP BY e.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    return (
+        "WITH " + _EDGES_CTE + ", " + ",\n".join(ctes)
+        + f"""
+SELECT r.id, ROUND(r.send / d.degree, 9) AS rank_r
+FROM r{iters} r JOIN deg d ON r.id = d.id"""
+    )
+
+
+def _bmatching_sql(rounds: int = 3) -> str:
+    # greedy b-matching with b=1 over the weighted co-purchase graph:
+    # per round each vertex proposes its max-weight incident edge
+    # (tie -> smallest neighbor), mutual proposals match, matched
+    # vertices are saturated and their edges removed (MaxBMatching
+    # semantics with unit capacity)
+    ctes = [
+        """ew AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)""",
+        "e1 AS MATERIALIZED (SELECT * FROM ew)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""i{r} AS (
+  SELECT u AS me, v AS other, w FROM e{r}
+  UNION ALL
+  SELECT v AS me, u AS other, w FROM e{r}
+),
+t{r} AS (
+  SELECT me, other FROM (
+    SELECT me, other, ROW_NUMBER() OVER (PARTITION BY me ORDER BY w DESC, other ASC) AS rn
+    FROM i{r}
+  ) WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT a.me AS u, a.other AS v FROM t{r} a
+  JOIN t{r} b ON a.me = b.other AND a.other = b.me
+  WHERE a.me < a.other
+),
+s{r} AS (SELECT u AS id FROM m{r} UNION SELECT v AS id FROM m{r}),
+e{r+1} AS MATERIALIZED (
+  SELECT e.* FROM e{r} e
+  WHERE e.u NOT IN (SELECT id FROM s{r}) AND e.v NOT IN (SELECT id FROM s{r})
+)"""
+        )
+    matched = " UNION ALL ".join(f"SELECT u, v FROM m{r}" for r in range(1, rounds + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT m.u, m.v, ew.w AS weight FROM ({matched}) m JOIN ew ON ew.u = m.u AND ew.v = m.v"
+    )
+
+
+def _kmeans_sql(iters: int = 2, k: int = 4, dim: int = 64) -> str:
+    # Lloyd iterations over the exploded (id, dim, val) form; initial
+    # centers = the k smallest vec_ids in id order (cluster index =
+    # rank); empty clusters keep their previous center. dim=64 matches
+    # the testdata embeddings at every sf.
+    ctes = [
+        f"""p AS MATERIALIZED (
+  SELECT vec_id AS id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, (SELECT UNNEST(range(1, {dim + 1})) AS i) dims
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY id) - 1 AS INT) AS cl, dim, val
+  FROM p WHERE id IN (SELECT id FROM (SELECT DISTINCT id FROM p ORDER BY id LIMIT {k}))
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""dd{i} AS (
+  SELECT p.id, c.cl, SUM((p.val - c.val) * (p.val - c.val)) AS d2
+  FROM p JOIN c{i-1} c ON p.dim = c.dim
+  GROUP BY p.id, c.cl
+),
+a{i} AS MATERIALIZED (
+  SELECT id, cl FROM (
+    SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cl ASC) AS rn
+    FROM dd{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""cm{i} AS (
+  SELECT a.cl, p.dim, SUM(p.val) / COUNT(*) AS val
+  FROM a{i} a JOIN p ON p.id = a.id GROUP BY a.cl, p.dim
+),
+c{i} AS MATERIALIZED (
+  SELECT c.cl, c.dim, COALESCE(m.val, c.val) AS val
+  FROM c{i-1} c LEFT JOIN cm{i} m ON m.cl = c.cl AND m.dim = c.dim
+)"""
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, cl AS cluster FROM a{iters}"
 
 
 _PUNCT_RE = r"""[^.,;:!?'"()\[\]{}-]"""
@@ -460,13 +670,14 @@ adj AS (SELECT DISTINCT src, dst FROM edges),
 degj AS (SELECT src AS id, COUNT(*) AS deg FROM adj GROUP BY src),
 linked AS (SELECT src AS u, dst AS v FROM adj WHERE src < dst),
 aa AS (
-  SELECT a.src AS u, b.src AS v, SUM(ln(1.0 / d.deg)) AS s
+  SELECT a.src AS u, b.src AS v,
+         CAST(SUM(CAST(ln(1.0 / d.deg) AS DECIMAL(38, 18))) AS DOUBLE) AS s
   FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
   JOIN linked l ON l.u = a.src AND l.v = b.src
   JOIN degj d ON d.id = a.dst
   GROUP BY a.src, b.src
 )
-SELECT l.u, l.v, ROUND(COALESCE(aa.s, 0.0), 9) AS aa
+SELECT l.u, l.v, ROUND(COALESCE(aa.s, 0.0), 6) AS aa
 FROM linked l LEFT JOIN aa ON aa.u = l.u AND aa.v = l.v"""
 )
 
@@ -537,6 +748,10 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "pagerank_10": _pagerank_sql(10),
         "lpa_4": _lpa_sql(4),
         "sssp_hops": _sssp_sql(6),
+        "mssp_hops": _mssp_sql(8),
+        "sybilrank_4": _sybilrank_sql(4),
+        "bmatching_3": _bmatching_sql(3),
+        "kmeans_2": _kmeans_sql(2),
         "jaccard": _JACCARD_SQL,
         "adamic_adar": _AA_SQL,
         "clustering_coef": _COEF_SQL,

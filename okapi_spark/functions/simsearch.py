@@ -135,17 +135,65 @@ def cosine_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(a, b, sim ≥ τ) embedding near-duplicate pairs (a < b).
-    Brute-force self-join baseline; swap in lsh buckets for scale."""
+
+    ``method="lsh"`` (default, the scale path): candidates are pairs
+    sharing a full sign-pattern bucket in ANY of ``tables`` independent
+    random-hyperplane tables — a uniform-key equi-join on
+    (table, bucket), exactly the MinHash-LSH band pattern; candidates
+    are then verified by exact cosine. Recall is probabilistic:
+    P(same bit) = 1 − θ/π, so at τ=0.95 (θ≈18°) a pair survives one
+    8-bit table w.p. ≈0.43 and is missed by all 4 tables w.p. ≈0.1;
+    raise ``tables``/lower ``bits`` for higher recall. Candidate count
+    per table ≈ n²/2^bits under uniform buckets — no O(n²) cross join.
+
+    ``method="exact"``: the brute-force all-pairs baseline — the
+    small-n oracle the LSH path is tested against.
+    """
     d = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a = d.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = d.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    if method == "exact":
+        a = d.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        b = d.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (use 'lsh' or 'exact')")
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    banded = None
+    for t in range(tables):
+        planes = [_hyperplane(dim, t * bits + i, seed) for i in range(bits)]
+        part = d.select(
+            "id", "v", F.lit(t).alias("table"), lsh_bucket(F.col("v"), planes).alias("bucket")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("sim"))
+        cand.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

@@ -3,10 +3,13 @@
 Reference: vertices with degree < k remove themselves (messages tell
 neighbors to prune the edge; a VertexResolver stops deleted vertices
 resurrecting, :99-108). Spark: the graph-mutation loop is a functional
-edge-set rebuild — degrees → dead set → anti-join — with lineage
-truncated by localCheckpoint every round (SURVEY.md §2.a graph
+edge-set rebuild — degrees → dead set → anti-join — with the EDGE SET
+as the BSP state, driven by ``run_supersteps`` (SURVEY.md §2.a graph
 mutation mapping). The anti-join replaces the resolver: removed
-vertices simply no longer appear on either side.
+vertices simply no longer appear on either side. Because the loop runs
+on the shared BSP runtime, a ``CheckpointStore`` makes the mutation
+loop crash-resumable mid-decomposition exactly like the value-state
+operators (kill at round r → resume → identical core).
 """
 
 from __future__ import annotations
@@ -14,26 +17,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from okapi_spark.bsp import CheckpointStore, run_supersteps
 from okapi_spark.graph.graph import Graph
 
+# below this many pruned vertices, hint a broadcast into the anti-join
+BROADCAST_DEAD_ROWS = 20_000_000
 
-def kcore(graph: Graph, k: int, max_rounds: int = 500) -> Graph:
+
+def kcore(
+    graph: Graph,
+    k: int,
+    max_rounds: int = 500,
+    store: CheckpointStore | None = None,
+) -> Graph:
     """The k-core subgraph (possibly empty)."""
-    edges = graph.edges.select("src", "dst", "weight").localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
-        dead = deg.filter(F.col("deg") < k).select("id")
+    edges0 = graph.edges.select("src", "dst", "weight")
+    prev_count = [None]
+
+    def superstep(ss: int, state: DataFrame):
+        from pyspark.storagelevel import StorageLevel
+
+        deg = state.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+        dead = deg.filter(F.col("deg") < k).select("id").persist(StorageLevel.MEMORY_AND_DISK)
         n_dead = dead.count()
-        if n_dead == 0:
-            break
-        dead = F.broadcast(dead)
-        edges = (
-            edges.join(dead.withColumnRenamed("id", "src"), "src", "left_anti")
+        if n_dead <= BROADCAST_DEAD_ROWS:
+            dead = F.broadcast(dead)
+        new_edges = (
+            state.join(dead.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(dead.withColumnRenamed("id", "dst"), "dst", "left_anti")
             .select("src", "dst", "weight")
-            .localCheckpoint(eager=True)
         )
-    return Graph(edges=edges)
+
+        def post(materialized: DataFrame) -> dict:
+            n = materialized.count()
+            removed = (prev_count[0] - n) if prev_count[0] is not None else None
+            prev_count[0] = n
+            return {"edges": n, "removed_edges": removed if removed is not None else -1}
+
+        return new_edges, post
+
+    def halt(ss: int, m: dict) -> bool:
+        # fixpoint: a round that removes nothing (first round always runs)
+        return m["removed_edges"] == 0
+
+    res = run_supersteps(edges0, superstep, max_supersteps=max_rounds, halt_fn=halt, store=store)
+    return Graph(edges=res.state)
 
 
 def kcore_vertices(graph: Graph, k: int) -> DataFrame:

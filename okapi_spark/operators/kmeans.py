@@ -27,20 +27,31 @@ def kmeans(
     max_iterations: int = 100,
     tol: float = 0.001,
     seed: int = 42,
+    init_centers: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """points: (id long, features array<double>). Returns
-    ((id, cluster), final_centers)."""
+    ((id, cluster), final_centers).
+
+    ``init_centers``: explicit initial centers (oracle-parity mode —
+    fixed centers make every Lloyd round SQL-reproducible); default is
+    the deterministic hash-sampled init. With ``tol=0`` the loop runs
+    exactly ``max_iterations`` assign+update rounds."""
     pts = points.select("id", F.col("features").cast("array<double>").alias("features"))
     pts = pts.localCheckpoint(eager=True)
 
-    init = (
-        pts.withColumn("h", F.xxhash64("id", F.lit(seed)))
-        .orderBy("h")
-        .limit(k)
-        .select("features")
-        .collect()
-    )
-    centers = [list(r.features) for r in init]
+    if init_centers is not None:
+        centers = [list(map(float, c)) for c in init_centers]
+        if len(centers) != k:
+            raise ValueError(f"init_centers has {len(centers)} rows, expected k={k}")
+    else:
+        init = (
+            pts.withColumn("h", F.xxhash64("id", F.lit(seed)))
+            .orderBy("h")
+            .limit(k)
+            .select("features")
+            .collect()
+        )
+        centers = [list(r.features) for r in init]
     dim = len(centers[0])
 
     def dist2(center: list[float]):

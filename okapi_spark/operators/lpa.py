@@ -130,102 +130,265 @@ def spinner_partition(
     graph: Graph,
     k: int = 8,
     lam: float = 1.0,
+    additional_capacity: float = 0.05,
     max_iterations: int = 290,
     threshold: float = 0.001,
     window: int = 5,
     seed: int = 42,
+    prior: DataFrame | None = None,
+    repartition: int = 0,
     num_partitions: int | None = None,
+    state_broadcast: bool | None = None,
+    broadcast_threshold: int = 20_000_000,
 ) -> BSPResult:
-    """Spinner balanced k-way partitioning (spinner/Spinner.java:103-736).
+    """Spinner balanced k-way partitioning — spinner/Spinner.java:103-736,
+    full protocol. state (id long, part int).
 
-    state (id long, part int). Convergence: windowed relative score
-    improvement < threshold (:637-655, defaults :115-124). Capacity
-    C = n·(1+eps)/k with eps folded into lam's load penalty; migration
-    probability = remaining_capacity/demand per target label (:341-418),
-    decided by hash-derived uniforms for determinism.
+    Faithful pieces (reference file:line):
+
+    * **Graph conversion**: ConverterPropagate → ConverterUpdateEdges
+      (:431-448, :526-556) make the input undirected — here one
+      ``Graph.symmetrize()``.
+    * **Init** (:425-466): prior partitions loaded from a side table
+      (``prior`` = SpinnerVertexValueInputFormat analogue, :919-954),
+      unassigned vertices hash-assigned uniformly over [0, k).
+    * **Repartition adaptation** (Repartitioner, :467-524): with
+      ``repartition`` ≠ 0 the label space becomes k+repartition;
+      down-scale moves orphaned vertices uniformly into the survivors,
+      up-scale moves any vertex into a new label with probability
+      repartition/(k+repartition).
+    * **Score** (:259-290): H(v,l) = λ + freq(l)/Σw − λ·ceil₃(load(l)/C),
+      loads in EDGE COUNTS (requestMigration/migrate aggregate
+      numberOfEdges, :157-165/:352-366), C = |E|·(1+additionalCapacity)
+      / (k+repartition) (:329-332), ceil₃ = ceil at 3 decimals
+      (computeW, :148-152). Candidates are ALL labels (:267) — but for
+      any label absent from the neighborhood H = λ(1−ceil₃(load/C)) is
+      vertex-independent, so the per-round argmax over absent labels is
+      one constant (min-load, min-index) candidate row per vertex
+      instead of a |V|×k cross join. Ties prefer the current partition,
+      then the smallest label (the reference's deterministic
+      chooseMinLabelPartition, :226-240; its default random tie-break
+      :206-224 is not reproducible).
+    * **Active gating** (:295-313): a vertex requests migration only if
+      a neighbor migrated in the previous round (isActive).
+    * **Migration probability** (ComputeMigration.preSuperstep,
+      :389-418): prob(l) = remaining(l)/demand(l) with remaining =
+      C − load(l), 0 if demand = 0 or remaining ≤ 0 — the reference's
+      actual damping, NOT a head-room fraction; demand = Σ numEdges of
+      requesters (:161-162). Decided by hash-derived per-(vertex,
+      round) uniforms for determinism.
+    * **Counters** (:600-698): per-round migrations, local-edge %,
+      max/min load unbalance, max normalized load, total score — in
+      ``metrics_log``.
+    * **Convergence** (algorithmConverged, :637-655): halt when
+      |1 − score/max(last ``window`` scores)| < threshold, checked
+      BEFORE the migration phase of the round (master halts the
+      migration superstep, :700-736), after window warm-up.
     """
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    edges = graph.edges.select("src", "dst", "weight")
-    vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
-    n = vertices.count()
-    total_w = edges.agg(F.sum("weight")).collect()[0][0]
-    capacity = 1.05 * total_w / k  # weighted-degree capacity per label
+    k_total = k + repartition
+    if k_total <= 0:
+        raise ValueError("k + repartition must be positive")
 
-    # init: deterministic hash assignment (reference: random init :432-433)
-    state0 = vertices.select(
-        "id", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int").alias("part")
+    g = graph.symmetrize()
+    deg = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg"), F.sum("weight").alias("wdeg")
     )
-
-    score_hist: list[float] = []
-
-    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
-        st = state.select("id", "part")
-        # per-label weighted degree loads (the aggregator feedback loop)
-        deg_w = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("dw"))
-        loads_rows = (
-            st.join(deg_w, "id", "left")
-            .groupBy("part")
-            .agg(F.sum(F.coalesce("dw", F.lit(0.0))).alias("load"))
-            .collect()
+    vertices = (
+        g.vertices().join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("wdeg", F.lit(0.0)).alias("wdeg"),
         )
+        .repartition(num_partitions, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = vertices.count()
+    if state_broadcast is None:
+        state_broadcast = n <= broadcast_threshold
+    edges = (g.by_dst(num_partitions) if state_broadcast else g.edges).select(
+        "src", "dst", "weight"
+    )
+    _maybe_bcast = F.broadcast if state_broadcast else (lambda df: df)
+    total_edges = g.num_edges()  # directed count of the symmetrized graph
+    capacity = total_edges * (1.0 + additional_capacity) / k_total
+
+    # --- init + optional prior + repartition adaptation -------------------
+    rand_part = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int")
+    if prior is not None:
+        state = vertices.join(
+            prior.select("id", F.col("part").cast("int").alias("prior_part")), "id", "left"
+        ).select("id", "deg", "wdeg", F.coalesce("prior_part", rand_part).alias("part"))
+    else:
+        state = vertices.select("id", "deg", "wdeg", rand_part.alias("part"))
+    if repartition < 0:
+        state = state.select(
+            "id", "deg", "wdeg",
+            F.when(
+                F.col("part") >= k_total,
+                F.pmod(F.xxhash64("id", F.lit("down"), F.lit(seed)), F.lit(k_total)).cast("int"),
+            ).otherwise(F.col("part")).alias("part"),
+        )
+    elif repartition > 0:
+        u0 = F.pmod(F.xxhash64("id", F.lit("up"), F.lit(seed)), F.lit(10**9)).cast("double") / 1e9
+        state = state.select(
+            "id", "deg", "wdeg",
+            F.when(
+                u0 < F.lit(repartition / k_total),
+                (F.lit(k) + F.pmod(F.xxhash64("id", F.lit("new"), F.lit(seed)), F.lit(repartition))).cast("int"),
+            ).otherwise(F.col("part")).alias("part"),
+        )
+    state = state.localCheckpoint(eager=True)
+
+    def _ceil3(x: float) -> float:
+        import math
+        return math.ceil(x * 1000.0) / 1000.0
+
+    score_window: list[float] = []
+    log: list[dict] = []
+    moved_prev: DataFrame | None = None  # frontier: who migrated last round
+    total_migrations = 0
+    converged = False
+    rounds = 0
+
+    for rnd in range(max_iterations):
+        rounds = rnd + 1
+        # loads in edge counts (persistent LOAD aggregators, :352-366)
+        loads_rows = state.groupBy("part").agg(F.sum("deg").alias("load")).collect()
         loads = {int(r.part): float(r.load) for r in loads_rows}
-        load_expr = F.create_map(
-            *[x for p in range(k) for x in (F.lit(p), F.lit(loads.get(p, 0.0)))]
-        )
+        pf = {p: lam * _ceil3(loads.get(p, 0.0) / capacity) for p in range(k_total)}
+        pf_expr = F.create_map(*[x for p in range(k_total) for x in (F.lit(p), F.lit(pf[p]))])
+        # constant best-absent-label candidate: max over l of λ − PF(l)
+        l_star = min(range(k_total), key=lambda p: (pf[p], p))
+        h_star = lam - pf[l_star]
 
-        # neighbor-label histogram normalized by own weighted degree
+        # --- ComputeNewPartition (:292-313) -------------------------------
+        labels = state.select(F.col("id").alias("src"), F.col("part").alias("spart"))
         hist = (
-            edges.join(st.withColumnRenamed("id", "src").withColumnRenamed("part", "spart"), "src")
+            edges.join(_maybe_bcast(labels), "src")
             .groupBy(F.col("dst").alias("id"), F.col("spart").alias("cand"))
             .agg(F.sum("weight").alias("w"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # local-edge counter (:186-204): out-edges into own partition
+        locals_row = (
+            hist.join(state.select("id", "part"), "id")
+            .filter(F.col("cand") == F.col("part"))
+            .agg(F.sum("w"))
+            .collect()[0][0]
         )
+        local_edges = float(locals_row or 0.0)
+
+        # normalize by the vertex's total label weight Σw (:264-268)
         scored = (
-            hist.join(deg_w, "id", "left")
-            .withColumn(
-                "score",
-                F.col("w") / F.coalesce("dw", F.lit(1.0))
-                - F.lit(lam) * load_expr[F.col("cand")] / F.lit(capacity),
+            hist.join(state.select("id", "wdeg", "part"), "id")
+            .select(
+                "id", "cand", "part",
+                (F.lit(lam) + F.col("w") / F.col("wdeg") - pf_expr[F.col("cand")]).alias("h"),
             )
         )
+        star = state.select("id", F.lit(l_star).alias("cand"), "part", F.lit(h_star).alias("h"))
+        allc = scored.unionByName(star)
+        # H at the current partition (currentState aggregator, :284)
+        h_cur = allc.filter(F.col("cand") == F.col("part")).groupBy("id").agg(F.max("h").alias("h_cur"))
         best = (
-            scored.groupBy("id")
-            .agg(F.max(F.struct("score", (-F.col("cand")).alias("neg"))).alias("m"))
-            .select("id", (-F.col("m.neg")).cast("int").alias("new_part"), F.col("m.score").alias("best_score"))
+            allc.groupBy("id")
+            .agg(F.max(F.struct(F.col("h"), (-F.col("cand")).alias("neg"))).alias("m"))
+            .select("id", (-F.col("m.neg")).cast("int").alias("best_cand"), F.col("m.h").alias("h_best"))
         )
-        joined = st.join(best, "id", "left").select(
-            "id", "part",
-            F.coalesce("new_part", "part").alias("new_part"),
-            F.coalesce("best_score", F.lit(0.0)).alias("best_score"),
+        decided = (
+            state.join(best, "id", "left")
+            .join(h_cur, "id", "left")
+            .select(
+                "id", "deg", "wdeg", "part",
+                F.coalesce(
+                    "h_cur",
+                    F.lit(lam) - pf_expr[F.col("part")],  # freq 0 at current
+                ).alias("h_now"),
+                # prefer current on ties (chooseMinLabelPartition :226-240)
+                F.when(
+                    F.col("h_best") > F.coalesce("h_cur", F.lit(lam) - pf_expr[F.col("part")]),
+                    F.col("best_cand"),
+                ).otherwise(F.col("part")).alias("want"),
+            )
         )
-        movers = joined.filter(F.col("new_part") != F.col("part"))
-        # migration damping: per target label admit remaining/demand fraction
-        demand_rows = movers.groupBy("new_part").agg(F.count("*").alias("dem")).collect()
-        demand = {int(r.new_part): int(r.dem) for r in demand_rows}
-        probs = {
-            p: min(1.0, max(0.0, (capacity - loads.get(p, 0.0)) / max(1e-9, capacity))  # head-room fraction
-                   if demand.get(p, 0) else 1.0)
-            for p in range(k)
-        }
-        prob_expr = F.create_map(*[x for p in range(k) for x in (F.lit(p), F.lit(probs[p]))])
-        u = (F.pmod(F.xxhash64("id", F.lit(ss), F.lit(seed)), F.lit(10**9)).cast("double")) / 1e9
-        migrated = joined.select(
-            "id",
+        # isActive gating (:295-313): only vertices with a migrated
+        # neighbor request migration (round 0: everyone, Initializer
+        # messages all edges :425-466)
+        if moved_prev is not None:
+            active = (
+                edges.join(_maybe_bcast(moved_prev.select(F.col("id").alias("src"))), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            decided = decided.join(active.withColumn("act", F.lit(True)), "id", "left").select(
+                "id", "deg", "wdeg", "part", "h_now",
+                F.when(F.col("act").isNotNull(), F.col("want")).otherwise(F.col("part")).alias("want"),
+            )
+        decided = decided.persist(StorageLevel.MEMORY_AND_DISK)
+
+        score = float(decided.agg(F.sum("h_now")).collect()[0][0] or 0.0)
+
+        # --- convergence check BEFORE migrating (:700-736) -----------------
+        if len(score_window) >= window and rnd > window:
+            best_prev = max(score_window[-window:])
+            if best_prev != 0 and abs(1.0 - score / best_prev) < threshold:
+                converged = True
+        score_window.append(score)
+        if converged:
+            hist.unpersist()
+            state = decided.select("id", "deg", "wdeg", "part").localCheckpoint(eager=True)
+            decided.unpersist()
+            log.append({
+                "superstep": rnd, "score": score, "migrations": 0,
+                "local_edges_pct": 100.0 * local_edges / max(total_edges, 1),
+                "loads": loads, "_halted": True,
+            })
+            break
+
+        # --- ComputeMigration (:343-418) -----------------------------------
+        movers = decided.filter(F.col("want") != F.col("part"))
+        demand_rows = movers.groupBy("want").agg(F.sum("deg").alias("dem")).collect()
+        demand = {int(r.want): float(r.dem) for r in demand_rows}
+        probs = {}
+        for p in range(k_total):
+            remaining = capacity - loads.get(p, 0.0)
+            d = demand.get(p, 0.0)
+            probs[p] = 0.0 if (d == 0 or remaining <= 0) else remaining / d
+        prob_expr = F.create_map(*[x for p in range(k_total) for x in (F.lit(p), F.lit(probs[p]))])
+        u = F.pmod(F.xxhash64("id", F.lit(rnd), F.lit(seed)), F.lit(10**9)).cast("double") / 1e9
+        migrated = decided.select(
+            "id", "deg", "wdeg",
             F.when(
-                (F.col("new_part") != F.col("part")) & (u < prob_expr[F.col("new_part")]),
-                F.col("new_part"),
+                (F.col("want") != F.col("part")) & (u < prob_expr[F.col("want")]),
+                F.col("want"),
             ).otherwise(F.col("part")).alias("part"),
-            "best_score",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        total_score = migrated.agg(F.sum("best_score")).collect()[0][0] or 0.0
-        score_hist.append(float(total_score))
-        return migrated.select("id", "part"), {"score": float(total_score), "loads": loads}
+            (F.col("want") != F.col("part")).alias("wanted"),
+            F.col("part").alias("old_part"),
+        ).localCheckpoint(eager=True)
+        n_migrations = migrated.filter(F.col("part") != F.col("old_part")).count()
+        total_migrations += n_migrations
+        moved_prev = migrated.filter(F.col("part") != F.col("old_part")).select("id")
 
-    def halt(ss: int, m: dict) -> bool:
-        if len(score_hist) <= window:
-            return False
-        prev_w = score_hist[-window - 1]
-        return abs(score_hist[-1] - prev_w) < threshold * abs(prev_w or 1.0)
+        hist.unpersist()
+        decided.unpersist()
+        state = migrated.select("id", "deg", "wdeg", "part")
 
-    return run_supersteps(state0, superstep, max_supersteps=max_iterations, halt_fn=halt)
+        load_vals = [loads.get(p, 0.0) for p in range(k_total)]
+        expected = total_edges / k_total
+        log.append({
+            "superstep": rnd,
+            "score": score,
+            "migrations": n_migrations,
+            "total_migrations": total_migrations,
+            "local_edges_pct": 100.0 * local_edges / max(total_edges, 1),
+            "maxmin_unbalance": (max(load_vals) / min(load_vals)) if min(load_vals) > 0 else float("inf"),
+            "max_norm_load": max(load_vals) / expected if expected else 0.0,
+            "loads": loads,
+            "_halted": False,
+        })
+
+    return BSPResult(state.select("id", "part"), rounds, converged, log)

@@ -131,7 +131,15 @@ def adamic_adar(graph: Graph, distance: bool = False) -> DataFrame:
         wedges.join(linked, ["u", "v"], "left_semi")
         .join(deg.withColumnRenamed("id", "c"), "c")
         .groupBy("u", "v")
-        .agg(F.sum(F.log(1.0 / F.col("deg"))).alias("aa"))
+        # decimal sum: exact, order-insensitive addition so the result
+        # is identical under any partitioning (a double sum can flip
+        # the last bit with merge order, which an oracle ROUND can't
+        # always absorb when the value sits on a rounding boundary)
+        .agg(
+            F.sum(F.log(1.0 / F.col("deg")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("aa")
+        )
     )
     out = linked.join(scored, ["u", "v"], "left").select(
         "u", "v", F.coalesce("aa", F.lit(0.0)).alias("aa")

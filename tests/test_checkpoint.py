@@ -48,3 +48,39 @@ def test_cc_resume_after_convergence_is_noop(spark, tmp_path):
     assert {r.id: r.comp for r in again.state.collect()} == {
         r.id: r.comp for r in first.state.collect()
     }
+
+
+def test_kcore_kill_and_resume(spark, tmp_path):
+    """Mutation-op resumability (SURVEY §7 hard part): kill the k-core
+    edge-rebuild loop mid-decomposition, resume from the store, reach
+    the identical core as the uninterrupted run."""
+    import numpy as np
+
+    from okapi_spark.operators.kcore import kcore
+
+    rng = np.random.default_rng(17)
+    edges = []
+    # a 3-core clique plus peel-away chains (several peel rounds)
+    for a in range(1, 8):
+        for b in range(a + 1, 8):
+            edges.append((a, b, 1.0))
+    tip = 7
+    for _ in range(12):
+        edges.append((tip, tip + 1, 1.0))
+        tip += 1
+    for s, d, w in list(edges):
+        edges.append((d, s, w))
+    g = Graph.from_edges(toy_edges(spark, edges))
+
+    golden = kcore(g, k=4)
+    want = sorted(r.id for r in golden.vertices().collect())
+    assert want  # the clique survives
+
+    store = CheckpointStore(str(tmp_path / "kcore"))
+    partial = kcore(g, k=4, max_rounds=1, store=store)  # "crash" after round 0
+    assert store.latest()["superstep"] == 0
+    resumed = kcore(g, k=4, store=store)
+    got = sorted(r.id for r in resumed.vertices().collect())
+    assert got == want
+    ss = [e["superstep"] for e in store.lineage()]
+    assert ss == sorted(ss) and len(set(ss)) == len(ss)

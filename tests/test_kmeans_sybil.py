@@ -72,3 +72,36 @@ def test_sybilrank_oracle(spark):
     # (approx: float sum order differs between the two physical plans)
     for v in want:
         assert got_s[v] == pytest.approx(got[v], rel=1e-12, abs=1e-15), v
+
+
+def test_watts_strogatz_sybilrank(spark):
+    """The reference's WS generator with trust labeling
+    (SybilRankWattsStrogatzVertexInputFormat.java:56-230) feeding
+    SybilRank end-to-end: ring+rewire shape invariants hold and the
+    trusted region outranks a sparsely-attached sybil region."""
+    from okapi_spark.sources.synth_graph import watts_strogatz
+
+    n, kpv = 200, 4
+    edges, labels = watts_strogatz(spark, n, edges_per_vertex=kpv, beta=0.2, seed=11,
+                                   trust_probability=0.15)
+    e = edges.collect()
+    # shape: ~n*k edges (minus rare rewire collisions), no self loops
+    assert n * kpv * 0.97 <= len(e) <= n * kpv
+    assert all(r.src != r.dst for r in e)
+    # determinism
+    e2 = watts_strogatz(spark, n, edges_per_vertex=kpv, beta=0.2, seed=11,
+                        trust_probability=0.15)[0].collect()
+    assert sorted((r.src, r.dst) for r in e) == sorted((r.src, r.dst) for r in e2)
+    trusted = labels.filter("is_trusted").select("id")
+    n_trusted = trusted.count()
+    assert 0 < n_trusted < n
+
+    g = Graph.from_edges(edges).symmetrize()
+    res = sybilrank(g, trusted)
+    ranks = {r.id: r.rank for r in res.state.collect()}
+    assert len(ranks) == n
+    # trusted vertices hold higher average degree-normalized trust
+    t_ids = {r.id for r in trusted.collect()}
+    avg_t = sum(ranks[v] for v in t_ids) / len(t_ids)
+    avg_o = sum(r for v, r in ranks.items() if v not in t_ids) / (n - len(t_ids))
+    assert avg_t > avg_o

@@ -104,3 +104,64 @@ def test_spinner_balanced_partitioning(spark):
         load[p] += deg.get(v, 0)
     total = sum(load.values())
     assert max(load.values()) <= 1.6 * total / k  # soft balance
+
+
+def test_spinner_protocol_invariants(spark):
+    """Reference-protocol checks (Spinner.java:341-418, :600-698):
+    final per-label loads stay within ε of capacity (the
+    remaining/demand damping cannot overfill a label), migration
+    counts shrink as the partitioning settles, and counters are
+    logged per round."""
+    rng = np.random.default_rng(31)
+    n = 120
+    edges = []
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            if rng.random() < 0.06:
+                edges.append((i, j, 1.0))
+    g = Graph.from_edges(toy_edges(spark, edges))
+    k = 4
+    res = spinner_partition(g, k=k, max_iterations=40, seed=3)
+    parts = {r.id: r.part for r in res.state.collect()}
+
+    from collections import Counter
+    deg = Counter()
+    for s, d, _ in edges:
+        deg[s] += 1
+        deg[d] += 1
+    load = Counter()
+    for v, p in parts.items():
+        load[p] += deg.get(v, 0)
+    total_edges = 2 * len(edges)
+    capacity = total_edges * 1.05 / k
+    # ε-capacity balance: one round's admissions can overshoot by at
+    # most the expected remaining mass, so 15% slack is generous
+    assert max(load.values()) <= 1.15 * capacity
+
+    migrations = [m["migrations"] for m in res.metrics_log if not m.get("_halted")]
+    assert len(migrations) >= 4
+    head = sum(migrations[:3]) / 3
+    tail = sum(migrations[-3:]) / 3
+    assert tail <= head  # migrations shrink as rounds progress
+
+    # counters present per round (reference :600-698)
+    for m in res.metrics_log:
+        assert "score" in m and "local_edges_pct" in m and "loads" in m
+
+
+def test_spinner_prior_partitions_resume(spark):
+    """SpinnerVertexValueInputFormat analogue (:919-954): feeding the
+    converged assignment back as the prior yields a quiet run (no
+    early-round migration storm)."""
+    rng = np.random.default_rng(13)
+    edges = []
+    for i in range(1, 61):
+        for j in range(i + 1, 61):
+            if rng.random() < 0.1:
+                edges.append((i, j, 1.0))
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res1 = spinner_partition(g, k=3, max_iterations=25, seed=7)
+    res2 = spinner_partition(g, k=3, max_iterations=5, seed=7, prior=res1.state)
+    m1 = res1.metrics_log[0]["migrations"]
+    m2 = res2.metrics_log[0]["migrations"]
+    assert m2 <= m1  # warm start migrates no more than the cold start

@@ -161,6 +161,20 @@ def test_cosine_near_dups(spark):
     assert any({p.a, p.b} == {0, rows[-1][0]} for p in pairs)
 
 
+def test_cosine_near_dups_lsh_matches_exact(spark):
+    """The LSH-bucketed scale path finds exactly the brute-force pairs
+    at τ=0.95 on the synthetic embeddings (fixed seed; near-identical
+    planted pairs survive the 4×8-bit tables with overwhelming prob,
+    and verification makes precision exact)."""
+    df, rows = _embeddings(spark, n=80)
+    exact = {(r.a, r.b, r.sim) for r in
+             cosine_near_dups(df, threshold=0.95, method="exact").collect()}
+    lsh = {(r.a, r.b, r.sim) for r in
+           cosine_near_dups(df, threshold=0.95, method="lsh").collect()}
+    assert exact == lsh
+    assert len(exact) >= 1  # the planted pair exists
+
+
 def test_multimodal_feature_extraction(spark):
     media = synthesize_media(spark, n=64)
     feats = extract_features(media, feature_dim=8)
