@@ -170,11 +170,18 @@ def _q_sybilrank(spark, sf_dir):
 
 
 def _q_bmatching(spark, sf_dir):
-    from okapi_spark.graph.graph import Graph
     from okapi_spark.operators.bmatching import max_b_matching
 
     # weighted co-purchase graph (weight = number of shared orders) so
     # the greedy matching has non-trivial weight ordering
+    g = _weighted_graph(spark, sf_dir)
+    caps = spark.createDataFrame([], "id long, capacity int")
+    return max_b_matching(g, caps, default_capacity=1, max_rounds=3).select("u", "v", "weight")
+
+
+def _weighted_graph(spark, sf_dir):
+    from okapi_spark.graph.graph import Graph
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -189,9 +196,25 @@ def _q_bmatching(spark, sf_dir):
     sym = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    g = Graph.from_edges(sym)
-    caps = spark.createDataFrame([], "id long, capacity int")
-    return max_b_matching(g, caps, default_capacity=1, max_rounds=3).select("u", "v", "weight")
+    return Graph.from_edges(sym)
+
+
+def _q_semimetric(spark, sf_dir):
+    from okapi_spark.operators.semimetric import semimetric_edges
+
+    return semimetric_edges(_weighted_graph(spark, sf_dir))
+
+
+def _q_spinner(spark, sf_dir):
+    # full-protocol Spinner on the weighted co-purchase graph; the
+    # migration protocol (hash uniforms, remaining/demand damping) is
+    # not practically SQL-expressible, so this entry has no oracle_sql
+    # and the driver records the weaker rows/schema check; protocol
+    # invariants are pytest-covered (tests/test_lpa.py)
+    from okapi_spark.operators.lpa import spinner_partition
+
+    res = spinner_partition(_weighted_graph(spark, sf_dir), k=8, max_iterations=8, seed=5)
+    return res.state.select("id", "part")
 
 
 def _q_kmeans(spark, sf_dir):
@@ -275,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sybilrank_4": _q_sybilrank,
         "bmatching_3": _q_bmatching,
         "kmeans_2": _q_kmeans,
+        "semimetric": _q_semimetric,
+        "spinner_8": _q_spinner,  # no oracle_sql: rows-only check
         "jaccard": _q_jaccard,
         "adamic_adar": _q_adamic_adar,
         "clustering_coef": _q_clustering_coef,
@@ -452,6 +477,27 @@ e{r+1} AS MATERIALIZED (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT m.u, m.v, ew.w AS weight FROM ({matched}) m JOIN ew ON ew.u = m.u AND ew.v = m.v"
     )
+
+
+_SEMIMETRIC_SQL = """
+WITH ew AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c, e1.w AS wab, e2.w AS wbc, e3.w AS wac
+  FROM ew e1 JOIN ew e2 ON e1.v = e2.u
+  JOIN ew e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+viol AS (
+  SELECT a AS u, b AS v FROM tri WHERE wab > wbc + wac
+  UNION SELECT b, c FROM tri WHERE wbc > wab + wac
+  UNION SELECT a, c FROM tri WHERE wac > wab + wbc
+)
+SELECT v.u, v.v, ew.w FROM viol v JOIN ew ON ew.u = v.u AND ew.v = v.v
+"""
 
 
 def _kmeans_sql(iters: int = 2, k: int = 4, dim: int = 64) -> str:
@@ -752,6 +798,7 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "sybilrank_4": _sybilrank_sql(4),
         "bmatching_3": _bmatching_sql(3),
         "kmeans_2": _kmeans_sql(2),
+        "semimetric": _SEMIMETRIC_SQL,
         "jaccard": _JACCARD_SQL,
         "adamic_adar": _AA_SQL,
         "clustering_coef": _COEF_SQL,

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
+from okapi_spark.bsp import BSPResult, CheckpointStore, no_adaptive, run_supersteps
 from okapi_spark.graph.graph import Graph
 
 # below this many frontier rows, hint a broadcast join into the scatter
@@ -101,12 +101,15 @@ def connected_components(
 
         return new_state, post
 
-    res = run_supersteps(
-        state0,
-        superstep,
-        max_supersteps=max_supersteps,
-        halt_fn=lambda ss, m: m["changed"] == 0,
-        store=store,
-    )
+    from contextlib import nullcontext
+
+    with no_adaptive(spark) if state_broadcast else nullcontext():
+        res = run_supersteps(
+            state0,
+            superstep,
+            max_supersteps=max_supersteps,
+            halt_fn=lambda ss, m: m["changed"] == 0,
+            store=store,
+        )
     res.state = res.state.select("id", "comp")
     return res

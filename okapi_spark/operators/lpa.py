@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
+from okapi_spark.bsp import BSPResult, CheckpointStore, no_adaptive, run_supersteps
 from okapi_spark.graph.graph import Graph
 
 
@@ -121,7 +121,10 @@ def label_propagation(
 
         max_ss = max_supersteps
 
-    res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt, store=store)
+    from contextlib import nullcontext
+
+    with no_adaptive(spark) if state_broadcast else nullcontext():
+        res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt, store=store)
     res.state = res.state.select("id", "lbl")
     return res
 

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
+from okapi_spark.bsp import BSPResult, CheckpointStore, no_adaptive, run_supersteps
 from okapi_spark.graph.graph import Graph
 
 # worker-global CSR cache: (mode, epoch, pid) -> packed arrays; reused
@@ -170,18 +170,24 @@ def pagerank(
 
         return new_state, post
 
-    if iterations is not None:
-        result = run_supersteps(
-            state0, superstep, max_supersteps=iterations, halt_fn=None, store=store
-        )
-    else:
-        result = run_supersteps(
-            state0,
-            superstep,
-            max_supersteps=max_supersteps,
-            halt_fn=lambda ss, m: m["max_delta"] < tol,
-            store=store,
-        )
+    # zero-exchange plans (broadcast state / csr) gain nothing from AQE;
+    # its per-job planning overhead is the loop's serial floor
+    from contextlib import nullcontext
+
+    aqe_off = no_adaptive(spark) if (mode != "sql" or state_broadcast) else nullcontext()
+    with aqe_off:
+        if iterations is not None:
+            result = run_supersteps(
+                state0, superstep, max_supersteps=iterations, halt_fn=None, store=store
+            )
+        else:
+            result = run_supersteps(
+                state0,
+                superstep,
+                max_supersteps=max_supersteps,
+                halt_fn=lambda ss, m: m["max_delta"] < tol,
+                store=store,
+            )
     result.state = result.state.select("id", "rank")
     if bcast_slot[0] is not None:
         # result.state is materialized by run_supersteps, so the last

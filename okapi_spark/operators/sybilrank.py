@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from okapi_spark.bsp import BSPResult, run_supersteps
+from okapi_spark.bsp import BSPResult, no_adaptive, run_supersteps
 from okapi_spark.graph.graph import Graph
 
 
@@ -88,7 +88,10 @@ def sybilrank(
         )
         return new_state, {}
 
-    res = run_supersteps(state0, superstep, max_supersteps=power_iterations)
+    from contextlib import nullcontext
+
+    with no_adaptive(spark) if state_broadcast else nullcontext():
+        res = run_supersteps(state0, superstep, max_supersteps=power_iterations)
     final = res.state.join(deg, "id", "left").select(
         "id",
         F.when(F.col("deg") > 0, F.col("send") / F.col("deg")).otherwise(0.0).alias("rank"),

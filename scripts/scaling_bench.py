@@ -40,11 +40,15 @@ wall = time.time() - t0
 times = [round(x["superstep_sec"], 2) for x in res.metrics_log]
 measured = times[3:]
 ss_sec = sum(measured)
+import statistics
+med = statistics.median(measured)
 print(json.dumps({"cores": cores, "edges": m, "iters": iters,
                   "wall_sec": round(wall, 2), "superstep_sec": round(ss_sec, 2),
                   "per_superstep_sec": times,
                   "measured_supersteps": len(measured),
-                  "edges_per_sec_per_superstep": round(m * len(measured) / ss_sec, 1)}))
+                  "median_superstep_sec": round(med, 3),
+                  "edges_per_sec_per_superstep": round(m * len(measured) / ss_sec, 1),
+                  "edges_per_sec_median": round(m / med, 1)}))
 spark.stop()
 """
 
@@ -63,20 +67,26 @@ def run(cores: int, n_edges: int, iters: int) -> dict:
 
 def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000_000
-    iters = 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     lo = run(8, n_edges, iters)
     hi = run(32, n_edges, iters)
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / 4.0
-    result = {"local8": lo, "local32": hi, "scaling_efficiency_8_to_32": round(eff, 3),
+    # median basis: robust to the multi-second G1 full-GC pauses that
+    # randomly hit either side and make single-run sum-basis numbers
+    # swing 0.4-2.8 across identical runs
+    eff_med = (hi["edges_per_sec_median"] / lo["edges_per_sec_median"]) / 4.0
+    result = {"local8": lo, "local32": hi,
+              "scaling_efficiency_8_to_32": round(eff, 3),
+              "scaling_efficiency_median": round(eff_med, 3),
               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result, indent=2))
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(
             f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, pagerank x{iters})\n\n"
-            f"| parallelism | superstep wall (s) | edges/sec/superstep |\n|---|---|---|\n"
-            f"| local[8]  | {lo['superstep_sec']} | {lo['edges_per_sec_per_superstep']:,} |\n"
-            f"| local[32] | {hi['superstep_sec']} | {hi['edges_per_sec_per_superstep']:,} |\n\n"
-            f"**Scaling efficiency (8→32 cores, ÷4): {eff:.3f}** (target ≥ 0.8)\n"
+            f"| parallelism | superstep wall (s) | median ss (s) | edges/sec/superstep (median basis) |\n|---|---|---|---|\n"
+            f"| local[8]  | {lo['superstep_sec']} | {lo['median_superstep_sec']} | {lo['edges_per_sec_median']:,} |\n"
+            f"| local[32] | {hi['superstep_sec']} | {hi['median_superstep_sec']} | {hi['edges_per_sec_median']:,} |\n\n"
+            f"**Scaling efficiency (8→32 cores, ÷4): sum-basis {eff:.3f}, median-basis {eff_med:.3f}** (target ≥ 0.8)\n"
         )
 
 
