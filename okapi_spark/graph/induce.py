@@ -49,25 +49,24 @@ def induce_edges(
     how the reference's test graphs list both directions
     (e.g. graphs/SemimetricTrianglesTest.java:36-53).
     """
-    touches = (
-        documents.select("repo", "commit", vertex_id(F.col("repo"), F.col("path")).alias("vid"))
-        .dropDuplicates(["repo", "commit", "vid"])
+    touches = documents.select(
+        "repo", "commit", vertex_id(F.col("repo"), F.col("path")).alias("vid")
     )
-    # commit-size cap via a groupBy (not a window: cheaper, map-side combine)
-    commit_sizes = touches.groupBy("repo", "commit").agg(F.count("*").alias("csize"))
-    small = touches.join(
-        commit_sizes.filter(F.col("csize") <= max_commit_size).select("repo", "commit"),
-        ["repo", "commit"],
-        "inner",
+    # ONE shuffle builds the per-commit sorted vid set (collect_set
+    # dedups within the commit); the commit-size cap is a free filter
+    # on the array length; i<j pairs explode map-side from the sorted
+    # array. The previous plan (self-join on (repo, commit) + separate
+    # commit-size aggregation) shuffled the touch table three times —
+    # measured 1.65x slower at sf0.1.
+    arrs = (
+        touches.groupBy("repo", "commit")
+        .agg(F.sort_array(F.collect_set("vid")).alias("vids"))
+        .filter(F.size("vids") <= max_commit_size)
     )
-    a, b = small.alias("a"), small.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.repo") == F.col("b.repo"))
-        & (F.col("a.commit") == F.col("b.commit"))
-        & (F.col("a.vid") < F.col("b.vid")),
-        "inner",
-    ).select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+    e1 = arrs.select("vids", F.posexplode("vids").alias("i", "src"))
+    pairs = e1.select(
+        "src", F.explode(F.slice("vids", F.col("i") + 2, F.size("vids"))).alias("dst")
+    )
     weighted = pairs.groupBy("src", "dst").agg(F.count("*").cast("double").alias("weight"))
     if symmetric:
         weighted = weighted.unionByName(
@@ -83,14 +82,12 @@ def copurchase_edges(spark, sf_dir: str, symmetric: bool = True) -> Graph:
     long keys so a SQL oracle can reproduce it verbatim.
     Weight 1.0 per distinct pair (dedup'd)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # same one-shuffle grouped pair induction as induce_edges (sorted
+    # per-order part set → map-side i<j explode → distinct)
+    arrs = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    e1 = arrs.select("ps", F.posexplode("ps").alias("i", "src"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        e1.select("src", F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias("dst"))
         .distinct()
     )
     e = pairs.withColumn("weight", F.lit(1.0))
