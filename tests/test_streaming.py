@@ -1,0 +1,94 @@
+"""Structured-Streaming sessionization end-to-end: file source →
+session_window aggregation → memory sink, compared against a hand
+oracle. Closes the round-1 gap (sessionize_stream was implemented but
+never driven through a real streaming query)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from okapi_spark.functions.sessions import sessionize_stream
+
+UTC = dt.timezone.utc
+
+
+def _mk_events():
+    """Two users; user 1 has two sessions split by a 2h gap, user 2 one
+    session; plus a far-future sentinel event that pushes the watermark
+    past every real session so append mode emits them all."""
+    base = dt.datetime(2024, 1, 1, 8, 0, 0, tzinfo=UTC)
+    rows = [
+        # user 1, session A: 3 events within 30-min gaps
+        (1, 101, base, 1.0),
+        (1, 102, base + dt.timedelta(minutes=10), 2.0),
+        (1, 103, base + dt.timedelta(minutes=35), 3.0),
+        # user 1, session B: 2h later
+        (1, 104, base + dt.timedelta(hours=3), 4.0),
+        # user 2, one session
+        (2, 201, base + dt.timedelta(minutes=5), 10.0),
+        (2, 202, base + dt.timedelta(minutes=20), 20.0),
+        # watermark sentinel: far future, its own session
+        (99, 999, base + dt.timedelta(days=2), 0.0),
+    ]
+    return rows
+
+
+def test_sessionize_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    rows = _mk_events()
+    batch = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    batch.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # a second no-new-data pass advances the watermark so closed
+    # sessions flush from the state store in append mode
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions_out2").collect()
+    }
+    # real sessions (the sentinel's own session may or may not flush —
+    # nothing after it advances the watermark; ignore user 99)
+    got = {g for g in got if g[0] != 99}
+    want = {
+        (1, 3, 6.0),   # session A: events 101-103 (35min span, gaps <= 30)
+        (1, 1, 4.0),   # session B
+        (2, 2, 30.0),  # user 2
+    }
+    assert got == want
+
+    # session_window boundaries: started = first event, ended extends
+    # gap past the last event (session_window semantics)
+    spans = {
+        (r.user_id, r.started, r.ended)
+        for r in spark.sql("SELECT * FROM sessions_out2").collect()
+        if r.user_id == 1 and r.n_events == 3
+    }
+    (span,) = spans
+    assert span[2] - span[1] == dt.timedelta(minutes=65)  # 35min span + 30min gap
