@@ -193,6 +193,62 @@ def sgd(
     return uf, itf, log
 
 
+def _eval_scored_pool(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    relevant: DataFrame,
+    num_samples: int,
+    seed: int,
+    rated: DataFrame | None,
+) -> DataFrame:
+    """(user, item, is_rel, score) candidate pool shared by the ranking
+    evaluators: the held-out relevant items plus ``num_samples``
+    hash-sampled unconnected items per user.
+
+    Sampling is ``pmod(xxhash64(user, draw), |items|)`` against the
+    distributed (idx, item) lookup with collision probing — NO
+    users×items cross join (the naive pool is O(|U|·|I|) rows, a
+    scale-killer; this one is O(|U|·num_samples)). Draws that still
+    collide with a connected item after probing are dropped, so a user
+    can receive marginally fewer than ``num_samples`` negatives —
+    irrelevant for a ranking metric."""
+    from okapi_spark.operators.ranking import _item_index, _sample_negatives
+
+    rel = relevant.select(
+        F.col("user").cast("long"), F.col("item").cast("long"), F.lit(True).alias("is_rel")
+    )
+    users = rel.select("user").distinct()
+    items_idx, n_items = _item_index(item_factors.select("id"))
+    connected = rel.select("user", "item")
+    if rated is not None:
+        connected = connected.unionByName(
+            rated.select(F.col("user").cast("long"), F.col("item").cast("long"))
+        ).distinct()
+    draws = users.crossJoin(
+        F.broadcast(
+            items_idx.sparkSession.range(num_samples).select(F.col("id").alias("pos"))
+        )
+    )
+    neg = (
+        _sample_negatives(draws, connected, items_idx, n_items, f"eval{seed}", seed)
+        .select("user", F.col("neg").alias("item"))
+        .distinct()
+        .join(connected, ["user", "item"], "left_anti")
+        .withColumn("is_rel", F.lit(False))
+    )
+    pool = rel.select("user", "item", "is_rel").unionByName(neg)
+    return (
+        pool.join(user_factors.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
+        .join(item_factors.withColumnRenamed("id", "item").withColumnRenamed("factors", "ifac"), "item")
+        .select(
+            "user", "item", "is_rel",
+            F.aggregate(
+                F.zip_with("ufac", "ifac", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("score"),
+        )
+    )
+
+
 def precision_at_k(
     user_factors: DataFrame,
     item_factors: DataFrame,
@@ -210,28 +266,7 @@ def precision_at_k(
     the reference's "irrelevant" items are those with no edge at all."""
     from pyspark.sql import Window
 
-    rel = relevant.select(F.col("user").cast("long"), F.col("item").cast("long"), F.lit(True).alias("is_rel"))
-    users = rel.select("user").distinct()
-    # deterministic negative sampling: per (user, item) hash ranks items
-    cand = users.crossJoin(item_factors.select(F.col("id").alias("item")))
-    cand = cand.join(rel.select("user", "item"), ["user", "item"], "left_anti")
-    if rated is not None:
-        cand = cand.join(
-            rated.select(F.col("user").cast("long"), F.col("item").cast("long")),
-            ["user", "item"],
-            "left_anti",
-        )
-    w_neg = Window.partitionBy("user").orderBy(F.xxhash64("user", "item", F.lit(seed)))
-    neg = cand.withColumn("rn", F.row_number().over(w_neg)).filter(F.col("rn") <= num_samples).drop("rn")
-    pool = rel.select("user", "item", "is_rel").unionByName(neg.withColumn("is_rel", F.lit(False)))
-    scored = (
-        pool.join(user_factors.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
-        .join(item_factors.withColumnRenamed("id", "item").withColumnRenamed("factors", "ifac"), "item")
-        .select(
-            "user", "item", "is_rel",
-            F.aggregate(F.zip_with("ufac", "ifac", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x).alias("score"),
-        )
-    )
+    scored = _eval_scored_pool(user_factors, item_factors, relevant, num_samples, seed, rated)
     w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     per_user = topk.groupBy("user").agg((F.sum(F.col("is_rel").cast("int")) / k).alias("p"))
@@ -255,27 +290,7 @@ def mean_reciprocal_rank(
     for climf_ranking."""
     from pyspark.sql import Window
 
-    rel = relevant.select(F.col("user").cast("long"), F.col("item").cast("long"), F.lit(True).alias("is_rel"))
-    users = rel.select("user").distinct()
-    cand = users.crossJoin(item_factors.select(F.col("id").alias("item")))
-    cand = cand.join(rel.select("user", "item"), ["user", "item"], "left_anti")
-    if rated is not None:
-        cand = cand.join(
-            rated.select(F.col("user").cast("long"), F.col("item").cast("long")),
-            ["user", "item"],
-            "left_anti",
-        )
-    w_neg = Window.partitionBy("user").orderBy(F.xxhash64("user", "item", F.lit(seed)))
-    neg = cand.withColumn("rn", F.row_number().over(w_neg)).filter(F.col("rn") <= num_samples).drop("rn")
-    pool = rel.select("user", "item", "is_rel").unionByName(neg.withColumn("is_rel", F.lit(False)))
-    scored = (
-        pool.join(user_factors.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
-        .join(item_factors.withColumnRenamed("id", "item").withColumnRenamed("factors", "ifac"), "item")
-        .select(
-            "user", "item", "is_rel",
-            F.aggregate(F.zip_with("ufac", "ifac", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x).alias("score"),
-        )
-    )
+    scored = _eval_scored_pool(user_factors, item_factors, relevant, num_samples, seed, rated)
     w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
     ranked = scored.withColumn("rn", F.row_number().over(w))
     per_user = (

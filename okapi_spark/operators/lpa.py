@@ -250,6 +250,29 @@ def spinner_partition(
         import math
         return math.ceil(x * 1000.0) / 1000.0
 
+    # loads in edge counts (persistent LOAD aggregators, :352-366);
+    # computed once here, then carried forward from each round's fused
+    # migration-stats job (3 Spark jobs per round total, not 6)
+    loads = {
+        int(r.part): float(r.load)
+        for r in state.groupBy("part").agg(F.sum("deg").alias("load")).collect()
+    }
+
+    from contextlib import ExitStack, nullcontext
+
+    with ExitStack() as loop_ctx:
+        loop_ctx.enter_context(no_adaptive(spark) if state_broadcast else nullcontext())
+        state, rounds, converged, log = _spinner_loop(
+            spark, state, edges, _maybe_bcast, loads, capacity, lam, k_total,
+            max_iterations, threshold, window, seed, total_edges, _ceil3,
+        )
+    return BSPResult(state.select("id", "part"), rounds, converged, log)
+
+
+def _spinner_loop(
+    spark, state, edges, _maybe_bcast, loads, capacity, lam, k_total,
+    max_iterations, threshold, window, seed, total_edges, _ceil3,
+):
     score_window: list[float] = []
     log: list[dict] = []
     moved_prev: DataFrame | None = None  # frontier: who migrated last round
@@ -259,9 +282,6 @@ def spinner_partition(
 
     for rnd in range(max_iterations):
         rounds = rnd + 1
-        # loads in edge counts (persistent LOAD aggregators, :352-366)
-        loads_rows = state.groupBy("part").agg(F.sum("deg").alias("load")).collect()
-        loads = {int(r.part): float(r.load) for r in loads_rows}
         pf = {p: lam * _ceil3(loads.get(p, 0.0) / capacity) for p in range(k_total)}
         pf_expr = F.create_map(*[x for p in range(k_total) for x in (F.lit(p), F.lit(pf[p]))])
         # constant best-absent-label candidate: max over l of λ − PF(l)
@@ -276,27 +296,27 @@ def spinner_partition(
             .agg(F.sum("weight").alias("w"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        # local-edge counter (:186-204): out-edges into own partition
-        locals_row = (
-            hist.join(state.select("id", "part"), "id")
-            .filter(F.col("cand") == F.col("part"))
-            .agg(F.sum("w"))
-            .collect()[0][0]
-        )
-        local_edges = float(locals_row or 0.0)
-
-        # normalize by the vertex's total label weight Σw (:264-268)
+        # normalize by the vertex's total label weight Σw (:264-268);
+        # carry w so the local-edge counter (:186-204) folds into the
+        # fused per-round stats job below
         scored = (
             hist.join(state.select("id", "wdeg", "part"), "id")
             .select(
-                "id", "cand", "part",
+                "id", "cand", "part", "w",
                 (F.lit(lam) + F.col("w") / F.col("wdeg") - pf_expr[F.col("cand")]).alias("h"),
             )
         )
-        star = state.select("id", F.lit(l_star).alias("cand"), "part", F.lit(h_star).alias("h"))
+        star = state.select(
+            "id", F.lit(l_star).alias("cand"), "part", F.lit(0.0).alias("w"), F.lit(h_star).alias("h")
+        )
         allc = scored.unionByName(star)
-        # H at the current partition (currentState aggregator, :284)
-        h_cur = allc.filter(F.col("cand") == F.col("part")).groupBy("id").agg(F.max("h").alias("h_cur"))
+        # H and freq-weight at the current partition (currentState
+        # aggregator :284 + locals counter)
+        cur_stats = (
+            allc.filter(F.col("cand") == F.col("part"))
+            .groupBy("id")
+            .agg(F.max("h").alias("h_cur"), F.max("w").alias("w_cur"))
+        )
         best = (
             allc.groupBy("id")
             .agg(F.max(F.struct(F.col("h"), (-F.col("cand")).alias("neg"))).alias("m"))
@@ -304,9 +324,10 @@ def spinner_partition(
         )
         decided = (
             state.join(best, "id", "left")
-            .join(h_cur, "id", "left")
+            .join(cur_stats, "id", "left")
             .select(
                 "id", "deg", "wdeg", "part",
+                F.coalesce("w_cur", F.lit(0.0)).alias("w_cur"),
                 F.coalesce(
                     "h_cur",
                     F.lit(lam) - pf_expr[F.col("part")],  # freq 0 at current
@@ -328,12 +349,28 @@ def spinner_partition(
                 .distinct()
             )
             decided = decided.join(active.withColumn("act", F.lit(True)), "id", "left").select(
-                "id", "deg", "wdeg", "part", "h_now",
+                "id", "deg", "wdeg", "part", "w_cur", "h_now",
                 F.when(F.col("act").isNotNull(), F.col("want")).otherwise(F.col("part")).alias("want"),
             )
         decided = decided.persist(StorageLevel.MEMORY_AND_DISK)
 
-        score = float(decided.agg(F.sum("h_now")).collect()[0][0] or 0.0)
+        # fused stats: score (Σ h_now), local edges (Σ w_cur) and
+        # per-target demand (Σ deg of movers) in ONE job — grouped by
+        # the migration target, null group = stayers
+        stats_rows = (
+            decided.groupBy(
+                F.when(F.col("want") != F.col("part"), F.col("want")).alias("tgt")
+            )
+            .agg(
+                F.sum("h_now").alias("sh"),
+                F.sum("w_cur").alias("sw"),
+                F.sum("deg").alias("sd"),
+            )
+            .collect()
+        )
+        score = float(sum((r.sh or 0.0) for r in stats_rows))
+        local_edges = float(sum((r.sw or 0.0) for r in stats_rows))
+        demand = {int(r.tgt): float(r.sd) for r in stats_rows if r.tgt is not None}
 
         # --- convergence check BEFORE migrating (:700-736) -----------------
         if len(score_window) >= window and rnd > window:
@@ -353,9 +390,6 @@ def spinner_partition(
             break
 
         # --- ComputeMigration (:343-418) -----------------------------------
-        movers = decided.filter(F.col("want") != F.col("part"))
-        demand_rows = movers.groupBy("want").agg(F.sum("deg").alias("dem")).collect()
-        demand = {int(r.want): float(r.dem) for r in demand_rows}
         probs = {}
         for p in range(k_total):
             remaining = capacity - loads.get(p, 0.0)
@@ -369,10 +403,20 @@ def spinner_partition(
                 (F.col("want") != F.col("part")) & (u < prob_expr[F.col("want")]),
                 F.col("want"),
             ).otherwise(F.col("part")).alias("part"),
-            (F.col("want") != F.col("part")).alias("wanted"),
             F.col("part").alias("old_part"),
         ).localCheckpoint(eager=True)
-        n_migrations = migrated.filter(F.col("part") != F.col("old_part")).count()
+        # fused migration stats: next round's loads AND the migration
+        # counter from one scan of the (cached) migrated state
+        mig_rows = (
+            migrated.groupBy("part")
+            .agg(
+                F.sum("deg").alias("load"),
+                F.sum(F.when(F.col("part") != F.col("old_part"), 1).otherwise(0)).alias("mig"),
+            )
+            .collect()
+        )
+        next_loads = {int(r.part): float(r.load) for r in mig_rows}
+        n_migrations = int(sum(r.mig for r in mig_rows))
         total_migrations += n_migrations
         moved_prev = migrated.filter(F.col("part") != F.col("old_part")).select("id")
 
@@ -390,8 +434,9 @@ def spinner_partition(
             "local_edges_pct": 100.0 * local_edges / max(total_edges, 1),
             "maxmin_unbalance": (max(load_vals) / min(load_vals)) if min(load_vals) > 0 else float("inf"),
             "max_norm_load": max(load_vals) / expected if expected else 0.0,
-            "loads": loads,
+            "loads": loads,  # this round's pre-migration loads
             "_halted": False,
         })
+        loads = next_loads
 
-    return BSPResult(state.select("id", "part"), rounds, converged, log)
+    return state, rounds, converged, log
