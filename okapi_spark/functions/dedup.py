@@ -256,3 +256,26 @@ def simhash_pairs(s: DataFrame, max_hamming: int = 2) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_exact_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop any row whose normalized-content
+    fingerprint was already emitted, with the dedup state bounded by
+    the event-time watermark (``dropDuplicatesWithinWatermark`` — the
+    scale-correct form: an unbounded ``dropDuplicates`` state grows
+    with the corpus forever). The batch tier is :func:`dedup_exact`;
+    this is its continuous-ingest twin for training-data pipelines."""
+    from okapi_spark.functions.text import fingerprint
+
+    return (
+        stream.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

@@ -8,11 +8,16 @@
   hyperplanes bucket vectors by sign pattern; search only the query's
   bucket (multi-probe over Hamming-1 neighbors for recall). The scale
   path: the bucket join replaces the cross product.
-* ``cosine_near_dups`` — all pairs with cosine ≥ τ (embedding near-dup
-  dedup tier).
+* ``ivf_topk`` — inverted-file ANN: k-means coarse codebook → Voronoi
+  cells → nprobe-cell scan + exact rerank (the FAISS-IVF layout,
+  composed from this engine's own kmeans operator).
+* ``cosine_near_dups`` — pairs with cosine ≥ τ (embedding near-dup
+  dedup tier); LSH-table blocking by default, brute force as the
+  small-n oracle path.
 
 Scale notes: brute force is O(|Q|·|D|) but embarrassingly parallel
-(broadcast Q); LSH makes the candidate set ~|D|/2^bits per probe.
+(broadcast Q); LSH makes the candidate set ~|D|/2^bits per probe;
+IVF makes it ~|D|·nprobe/nlist per query.
 """
 
 from __future__ import annotations
@@ -196,4 +201,77 @@ def cosine_near_dups(
     return (
         cand.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_iterations: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, sim) IVF approximate top-k — the classic
+    inverted-file ANN layout: a coarse k-means codebook of ``nlist``
+    centroids partitions the corpus into cells (the Voronoi inverted
+    lists); each query scans only its ``nprobe`` nearest cells and
+    candidates are reranked by exact cosine.
+
+    Built by composing the engine's own operators: the codebook is
+    :func:`okapi_spark.operators.kmeans.kmeans` on the corpus, cell
+    assignment and probe selection are JVM column expressions over the
+    (small, broadcast-as-literals) centroid table, and the cell join is
+    a uniform equi-join — candidates per query ≈ |D|·nprobe/nlist, no
+    cross product. ``nprobe == nlist`` degenerates to exact search
+    (recall 1.0), the property the test pins.
+    """
+    from okapi_spark.operators.kmeans import kmeans as _kmeans
+
+    pts = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("features")
+    )
+    _, centers = _kmeans(pts, k=nlist, max_iterations=train_iterations, tol=0.0, seed=seed)
+
+    def dist2(center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def with_cells(df: DataFrame, n_cells: int) -> DataFrame:
+        """cells = indices of the n_cells nearest centroids (ascending
+        distance, ties by cell index)."""
+        darr = F.array(*[
+            F.struct(dist2(c).alias("d"), F.lit(i).alias("cell")) for i, c in enumerate(centers)
+        ])
+        ordered = F.slice(F.array_sort(darr), 1, n_cells)
+        return df.withColumn("cells", F.transform(ordered, lambda s: s["cell"]))
+
+    d = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    d = with_cells(d, 1).select("vec_id", F.col("v").alias("dv"), F.element_at("cells", 1).alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = with_cells(q, min(nprobe, nlist)).select(
+        "query_id", F.col("v").alias("qv"), F.explode("cells").alias("cell")
+    )
+    scored = (
+        d.join(q, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cosine(F.col("qv"), F.col("dv")), 9).alias("sim"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim")
     )

@@ -190,3 +190,22 @@ def test_multimodal_feature_extraction(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00")
+
+
+def test_ivf_topk_recall_and_exact_degeneration(spark):
+    from okapi_spark.functions.simsearch import ivf_topk
+
+    df, rows = _embeddings(spark, n=120)
+    queries = df.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(df, queries, k=5)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    # probing every cell degenerates to exact search: recall 1.0
+    full = ivf_topk(df, queries, k=5, nlist=8, nprobe=8)
+    f = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert f == e
+
+    # partial probe keeps useful recall on gaussian data
+    approx = ivf_topk(df, queries, k=5, nlist=8, nprobe=3)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
