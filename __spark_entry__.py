@@ -271,6 +271,61 @@ def _q_embed_knn(spark, sf_dir):
     return cosine_topk(emb, queries_df, k=10)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    from okapi_spark.functions.dedup import ngram_jaccard_pairs
+
+    # exact (no LSH recall loss) n-gram Jaccard near-dup pairs, blocked
+    # on the shared-shingle postings join — lower threshold than the
+    # minhash entry so both paths are exercised independently
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+
+
+def _q_cosine_near_dups(spark, sf_dir):
+    from okapi_spark.functions.simsearch import cosine_near_dups
+
+    # exact brute-force path = the oracle tier; the LSH-bucketed scale
+    # path is pytest-verified equal to this at the same threshold
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dups(emb, threshold=0.45, method="exact")
+
+
+def _ratings(spark, sf_dir):
+    """(user, item, rating) derived from orders ⋈ lineitem — the CF
+    input shape (cf/CfLongIdFloatTextInputFormat.java:36 analogue)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+
+
+def _q_popularity(spark, sf_dir):
+    from okapi_spark.operators.ranking import popularity_ranking
+
+    # PopularityRankingComputation.java:44-68 — item score = #raters
+    _, itf = popularity_ranking(_ratings(spark, sf_dir))
+    return itf.select("id", F.element_at("factors", 1).alias("pop"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from okapi_spark.functions.text import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from okapi_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     from okapi_spark.functions.sessions import sessionize
 
@@ -311,6 +366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": _q_simhash,
         "embed_cosine_topk": _q_embed_knn,
         "sessionize": _q_sessionize,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_near_dups": _q_cosine_near_dups,
+        "popularity_rank": _q_popularity,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
     }
 
 
@@ -669,6 +729,77 @@ SELECT query_id, vec_id, sim FROM (
 ) WHERE rn <= 10
 """
 
+_NGRAM_JACCARD_SQL = (
+    "WITH " + _SHINGLES_CTE + """,
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS common
+  FROM cand c JOIN sh pa ON pa.id = c.a JOIN sh pb ON pb.id = c.b AND pb.shingle = pa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, jaccard FROM (
+  SELECT c.a, c.b,
+         ROUND(COALESCE(i.common, 0)::DOUBLE / (sa.sz + sb.sz - COALESCE(i.common, 0)), 9) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON sa.id = c.a JOIN sizes sb ON sb.id = c.b
+) WHERE jaccard >= 0.3"""
+)
+
+_COSINE_NEAR_DUPS_SQL = """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a, b, sim FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         ROUND(
+           list_sum(list_transform(range(1, len(l.v) + 1), i -> l.v[i] * r.v[i]))
+           / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(r.v, x -> x * x)))), 9) AS sim
+  FROM d l JOIN d r ON l.vec_id < r.vec_id
+) WHERE sim >= 0.45
+"""
+
+_POPULARITY_SQL = """
+WITH r AS (
+  SELECT o.o_custkey AS usr, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT item AS id, CAST(COUNT(*) AS DOUBLE) AS pop FROM r GROUP BY item
+"""
+
+_LANG_ID_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tkl
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, nhits FROM toks, LATERAL (
+    SELECT * FROM (VALUES
+      ('en', len(list_filter(tkl, x -> x IN ('the','and','of','to','in','is','that','for')))),
+      ('de', len(list_filter(tkl, x -> x IN ('der','die','und','das','nicht','ist','ein','zu')))),
+      ('fr', len(list_filter(tkl, x -> x IN ('le','la','les','et','des','est','une','dans')))),
+      ('es', len(list_filter(tkl, x -> x IN ('el','los','las','que','una','por','para','con'))))
+    ) t(lang, nhits)
+  )
+)
+SELECT doc_id, CASE WHEN nhits > 0 THEN lang ELSE 'und' END AS lang FROM (
+  SELECT doc_id, lang, nhits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nhits DESC, lang DESC) AS rn
+  FROM hits
+) WHERE rn = 1
+"""
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
 _SESSIONIZE_SQL = """
 WITH e AS (
   SELECT user_id, event_id, ts, value,
@@ -809,4 +940,9 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "simhash16": _SIMHASH_SQL,
         "embed_cosine_topk": _EMBED_KNN_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "cosine_near_dups": _COSINE_NEAR_DUPS_SQL,
+        "popularity_rank": _POPULARITY_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
     }

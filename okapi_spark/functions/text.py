@@ -64,14 +64,20 @@ def quality_score(col: Column) -> Column:
     return (len_ok + word_ok + punct_ok) / 3.0
 
 
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    # NB: the lambda must be unary — PySpark infers the (value, index)
+    # two-arg form from the signature, so capturing `words` via a
+    # default arg would make it receive the index Column instead
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
 def lang_id(col: Column) -> Column:
-    """Best-scoring language by marker-word hits; 'und' when no hits."""
+    """Best-scoring language by marker-word hits; 'und' when no hits.
+    Ties break to the lexicographically largest language code (struct
+    max over (hits, lang)), mirrored exactly by the DuckDB oracle."""
     toks = tokens(F.lower(col))
     scores = [
-        F.struct(
-            F.size(F.filter(toks, lambda t, ws=ws: t.isin(*ws))).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(_marker_hits(toks, ws).alias("hits"), F.lit(lang).alias("lang"))
         for lang, ws in sorted(LANG_MARKERS.items())
     ]
     best = F.array_max(F.array(*scores))

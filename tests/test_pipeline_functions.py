@@ -209,3 +209,32 @@ def test_ivf_topk_recall_and_exact_degeneration(spark):
     approx = ivf_topk(df, queries, k=5, nlist=8, nprobe=3)
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_lang_id_and_token_counts(spark):
+    from okapi_spark.functions.text import bpe_ish_token_count, lang_id, token_count
+
+    rows = [
+        (1, "the cat and the dog sat in that house for hours"),
+        (2, "der hund und die katze das ist ein haus zu sehen"),
+        (3, "le chat et la maison les arbres dans une ville"),
+        (4, "zzz qqq xyzzy plugh"),
+        (5, "foo123 bar, baz!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang"),
+            token_count(F.col("text")).alias("ws"),
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert got[1].lang == "en"
+    assert got[2].lang == "de"
+    assert got[3].lang == "fr"
+    assert got[4].lang == "und"
+    assert got[5].ws == 3
+    # foo|123|bar|,|baz|! → 6 BPE-ish units
+    assert got[5].bpe == 6
