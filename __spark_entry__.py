@@ -196,7 +196,7 @@ def _weighted_graph(spark, sf_dir):
     sym = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    return Graph.from_edges(sym)
+    return Graph.from_edges(sym, symmetric_distinct=True)
 
 
 def _q_semimetric(spark, sf_dir):
@@ -309,6 +309,36 @@ def _q_popularity(spark, sf_dir):
     return itf.select("id", F.element_at("factors", 1).alias("pop"))
 
 
+def _q_als(spark, sf_dir):
+    # ALS matrix factorization (cf/als/Als.java:51-285) on the derived
+    # ratings; the per-vertex linear solve is not SQL-expressible, so
+    # this entry has no oracle_sql (rows-only check) — the numeric
+    # kernel is pytest-verified against the reference's golden factors
+    # (AlsTest.java:32-63) in tests/test_cf.py
+    from okapi_spark.operators.cf import als
+
+    _, itf, _ = als(_ratings(spark, sf_dir), vector_size=3, iterations=2)
+    return itf.select(
+        "id", *[F.round(F.element_at("factors", i + 1), 6).alias(f"f{i}") for i in range(3)]
+    )
+
+
+def _q_precision_at_5(spark, sf_dir):
+    # Precision@5 protocol (cf/eval/RankEvaluationComputation.java:43-172)
+    # for the popularity model: 100 hash-sampled unrated negatives per
+    # user + relevant test items, ranked by score. The xxhash64 negative
+    # sampling has no DuckDB equivalent → rows-only check; protocol
+    # shape (Pop ≫ Random) is pytest-verified in tests/test_svdpp_ranking.py
+    from okapi_spark.operators.cf import precision_at_k
+    from okapi_spark.operators.ranking import popularity_ranking
+
+    ratings = _ratings(spark, sf_dir).persist()
+    uf, itf = popularity_ranking(ratings)
+    relevant = ratings.filter(F.col("rating") >= 2.0).select("user", "item")
+    p = precision_at_k(uf, itf, relevant, k=5, num_samples=100, rated=ratings)
+    return spark.createDataFrame([(round(p, 6),)], "precision_at_5 double")
+
+
 def _q_lang_id(spark, sf_dir):
     from okapi_spark.functions.text import lang_id
 
@@ -371,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "popularity_rank": _q_popularity,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
+        "als_2": _q_als,  # no oracle_sql: rows-only (per-vertex solves)
+        "precision_at_5_pop": _q_precision_at_5,  # no oracle_sql: hash sampling
     }
 
 

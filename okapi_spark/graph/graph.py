@@ -30,12 +30,23 @@ class Graph:
     """
 
     edges: DataFrame
+    #: the edge rows are distinct AND closed under reversal ((u,v) row ⟺
+    #: (v,u) row) — lets canonicalization in triangle/similarity/
+    #: semimetric plans become a free ``src < dst`` filter instead of a
+    #: full distinct/agg shuffle of the edge table. Set by the inducers
+    #: and ``symmetrize()``, which construct exactly that shape.
+    symmetric_distinct: bool = False
     _num_vertices: int | None = field(default=None, repr=False)
     _num_edges: int | None = field(default=None, repr=False)
     _by_dst: DataFrame | None = field(default=None, repr=False)
 
     @staticmethod
-    def from_edges(edges: DataFrame, partitions: int | None = None, cache: bool = True) -> "Graph":
+    def from_edges(
+        edges: DataFrame,
+        partitions: int | None = None,
+        cache: bool = True,
+        symmetric_distinct: bool = False,
+    ) -> "Graph":
         """Normalize schema, co-locate by src, optionally persist."""
         e = edges.select(
             F.col("src").cast("long").alias("src"),
@@ -48,7 +59,7 @@ class Graph:
             e = e.repartition("src")
         if cache:
             e = e.persist(StorageLevel.MEMORY_AND_DISK)
-        return Graph(edges=e)
+        return Graph(edges=e, symmetric_distinct=symmetric_distinct)
 
     def by_dst(self, partitions: int | None = None) -> DataFrame:
         """Edges hash-partitioned by ``dst``, cached.
@@ -115,7 +126,7 @@ class Graph:
             .groupBy("src", "dst")
             .agg(F.max("weight").alias("weight"))
         )
-        return Graph.from_edges(sym)
+        return Graph.from_edges(sym, symmetric_distinct=True)
 
     def num_vertices(self) -> int:
         if self._num_vertices is None:

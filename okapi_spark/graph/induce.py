@@ -72,7 +72,9 @@ def induce_edges(
         weighted = weighted.unionByName(
             weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
-    return Graph.from_edges(weighted)
+    # the grouped pairs are distinct with src<dst; adding the reverses
+    # makes the edge rows exactly the symmetric-distinct closure
+    return Graph.from_edges(weighted, symmetric_distinct=symmetric)
 
 
 def copurchase_edges(spark, sf_dir: str, symmetric: bool = True) -> Graph:
@@ -93,4 +95,4 @@ def copurchase_edges(spark, sf_dir: str, symmetric: bool = True) -> Graph:
     e = pairs.withColumn("weight", F.lit(1.0))
     if symmetric:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
-    return Graph.from_edges(e)
+    return Graph.from_edges(e, symmetric_distinct=symmetric)

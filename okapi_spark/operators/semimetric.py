@@ -22,6 +22,12 @@ from okapi_spark.graph.graph import Graph
 
 
 def _canonical_weighted(graph: Graph) -> DataFrame:
+    if graph.symmetric_distinct:
+        # both directions carry the same weight in a symmetric-distinct
+        # graph, so src<dst picks each pair once — no agg shuffle
+        return graph.edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v"), F.col("weight").alias("w")
+        )
     return (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select(

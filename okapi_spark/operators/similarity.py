@@ -23,8 +23,12 @@ from okapi_spark.graph.graph import Graph
 
 
 def _adj(graph: Graph) -> DataFrame:
-    """Symmetric adjacency without weights, deduped."""
+    """Symmetric adjacency without weights, deduped. Free projection
+    for ``symmetric_distinct`` graphs (both directions already present,
+    rows already distinct); union+distinct otherwise."""
     e = graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if graph.symmetric_distinct:
+        return e
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
 

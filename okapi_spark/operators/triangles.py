@@ -27,7 +27,15 @@ from okapi_spark.graph.graph import Graph
 
 
 def _canonical(graph: Graph) -> DataFrame:
-    """Undirected canonical edge set: one row per unordered pair {u,v}."""
+    """Undirected canonical edge set: one row per unordered pair {u,v}.
+
+    For a ``symmetric_distinct`` graph (induced/symmetrized edge sets)
+    this is the free filter ``src < dst`` — no distinct shuffle of the
+    edge table; otherwise fall back to least/greatest + distinct."""
+    if graph.symmetric_distinct:
+        return graph.edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
     return (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select(

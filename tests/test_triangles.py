@@ -48,3 +48,37 @@ def test_triangles_directed_input_counts_undirected(spark):
     )
     g = Graph.from_edges(edges)
     assert triangle_count(g) == 1
+
+
+def test_symmetric_distinct_fast_path_matches(spark):
+    """The symmetric_distinct canonicalization fast path (src<dst
+    filter) must agree with the general least/greatest+distinct path
+    on the same symmetrized graph — triangles, jaccard, semimetric."""
+    from okapi_spark.operators.semimetric import semimetric_edges
+    from okapi_spark.operators.similarity import jaccard
+
+    rng = np.random.default_rng(11)
+    edges = []
+    for i in range(1, 41):
+        for j in range(i + 1, 41):
+            if rng.random() < 0.2:
+                w = float(rng.integers(1, 6))
+                edges.append((i, j, w))
+                edges.append((j, i, w))
+    df = toy_edges(spark, edges)
+    g_fast = Graph.from_edges(df, symmetric_distinct=True)
+    g_slow = Graph.from_edges(df, symmetric_distinct=False)
+    assert g_fast.symmetric_distinct and not g_slow.symmetric_distinct
+
+    assert triangle_count(g_fast) == triangle_count(g_slow)
+    tf = sorted(tuple(r) for r in triangles_df(g_fast).collect())
+    ts = sorted(tuple(r) for r in triangles_df(g_slow).collect())
+    assert tf == ts
+
+    jf = sorted(tuple(r) for r in jaccard(g_fast).collect())
+    js = sorted(tuple(r) for r in jaccard(g_slow).collect())
+    assert jf == js
+
+    sf = sorted(tuple(r) for r in semimetric_edges(g_fast).collect())
+    ss = sorted(tuple(r) for r in semimetric_edges(g_slow).collect())
+    assert sf == ss
