@@ -339,6 +339,30 @@ def _q_precision_at_5(spark, sf_dir):
     return spark.createDataFrame([(round(p, 6),)], "precision_at_5 double")
 
 
+def _q_svdpp(spark, sf_dir):
+    # SVD++ (cf/svd/Svdpp.java:48-567) — baseline+factor+weight state;
+    # per-vertex vector updates are not SQL-expressible → rows-only;
+    # the update/predict formulas are pytest-verified against the
+    # reference's golden unit values (SvdppTest.java:43-138)
+    from okapi_spark.operators.svdpp import svdpp
+
+    _, itf, _ = svdpp(_ratings(spark, sf_dir), vector_size=3, iterations=1)
+    return itf.select("id", F.round("baseline", 6).alias("baseline"))
+
+
+def _q_semicluster(spark, sf_dir):
+    # Pregel-paper semi-clustering (graphs/SemiClustering.java:61-495):
+    # set-valued vertex state (top-k cluster structs) → rows-only;
+    # golden behavior pytest-verified in tests/test_semiclustering.py
+    from okapi_spark.operators.semiclustering import semi_clustering
+
+    out = semi_clustering(_weighted_graph(spark, sf_dir), iterations=2)
+    return out.select(
+        "id", F.size("clusters").alias("n_clusters"),
+        F.round(F.element_at("clusters", 1)["score"], 6).alias("best_score"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from okapi_spark.functions.text import lang_id
 
@@ -403,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "als_2": _q_als,  # no oracle_sql: rows-only (per-vertex solves)
         "precision_at_5_pop": _q_precision_at_5,  # no oracle_sql: hash sampling
+        "svdpp_1": _q_svdpp,  # no oracle_sql: rows-only (vector state updates)
+        "semicluster_2": _q_semicluster,  # no oracle_sql: rows-only (set-valued state)
     }
 
 

@@ -78,3 +78,21 @@ def test_naive_plan_does_shuffle(spark):
         .agg(F.sum("rank").alias("msum"))
     )
     assert count_exchanges(msgs) >= 1
+
+
+def test_symmetric_distinct_canonicalization_is_exchange_free(spark):
+    """For a symmetric_distinct graph the canonical pair set must be a
+    pure filter over the cached edges (zero exchanges); the general
+    path pays a distinct shuffle. This is the structural guarantee
+    behind the triangle/similarity fast path."""
+    from okapi_spark.operators.triangles import _canonical
+
+    e = generate_edges(spark, 20_000, 1_000)
+    sym = e.select("src", "dst").filter("src < dst").distinct()
+    sym = sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    g_fast = Graph.from_edges(sym, symmetric_distinct=True)
+    g_fast.edges.count()  # materialize the cache
+    g_slow = Graph(edges=g_fast.edges, symmetric_distinct=False)
+
+    assert count_exchanges(_canonical(g_fast)) == 0
+    assert count_exchanges(_canonical(g_slow)) >= 1
