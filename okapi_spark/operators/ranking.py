@@ -346,12 +346,15 @@ def climf_ranking(
         f = v @ u                                  # (m,)
         m = f[:, None] - f[None, :]                # m[j,k] = f_j − f_k
         sig_neg_f = _sigmoid(-f)
-        spd = _sigmoid_d(m)                        # σ'(f_j−f_k) = σ'(f_k−f_j)
-        w = spd / (1.0 - _sigmoid(-m))             # w[j,k] = σ'(f_k−f_j)/(1−σ(f_k−f_j))
+        sig_m, sig_neg_m = _sigmoid(m), _sigmoid(-m)
+        # exact simplifications via σ'(x) = σ(x)σ(−x) — no divisions,
+        # so no overflow or precision loss at large score gaps:
+        #   σ'(f_k−f_j)/(1−σ(f_k−f_j))                    = σ(f_k−f_j) = σ(−m)
+        #   σ'(f_j−f_k)(1/(1−σ(f_k−f_j)) − 1/(1−σ(f_j−f_k))) = σ(−m) − σ(m)
+        w = sig_neg_m                              # w[j,k] = σ(f_k−f_j)
         du_pair = ((w.sum(axis=1) - w.sum(axis=0))[:, None] * v).sum(axis=0)
         du = gamma * ((sig_neg_f[:, None] * v).sum(axis=0) + du_pair - lambda_ * u)
-        # item scalar: σ(−f_j) + Σ_k σ'(f_j−f_k)(1/(1−σ(f_k−f_j)) − 1/(1−σ(f_j−f_k)))
-        scal = sig_neg_f + (spd * (1.0 / (1.0 - _sigmoid(-m)) - 1.0 / (1.0 - _sigmoid(m)))).sum(axis=1)
+        scal = sig_neg_f + (sig_neg_m - sig_m).sum(axis=1)
         dv = gamma * (scal[:, None] * u[None, :] - lambda_ * v)
         return pd.DataFrame({
             "kind": ["u"] + ["i"] * len(ids),
