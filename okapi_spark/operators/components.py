@@ -83,6 +83,11 @@ def connected_components(
         frontier = state.filter("changed").select(F.col("id").alias("src"), "comp")
         if state_broadcast or last_changed[0] <= frontier_broadcast_rows:
             frontier = F.broadcast(frontier)
+        else:
+            # stream the cached edges against a per-partition hash of
+            # the frontier — avoids SortMergeJoin re-sorting the edge
+            # set every superstep (see pagerank.py shuffle branch)
+            frontier = frontier.hint("shuffle_hash")
         msgs = (
             edges.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))

@@ -90,6 +90,10 @@ def label_propagation(
         )
         if state_broadcast:
             labels = F.broadcast(labels)
+        else:
+            # stream cached edges vs per-partition label hash (no SMJ
+            # re-sort of the edge set; see pagerank.py shuffle branch)
+            labels = labels.hint("shuffle_hash")
         hist = (
             edges.join(labels, "src")
             .groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
@@ -215,7 +219,9 @@ def spinner_partition(
     edges = (g.by_dst(num_partitions) if state_broadcast else g.edges).select(
         "src", "dst", "weight"
     )
-    _maybe_bcast = F.broadcast if state_broadcast else (lambda df: df)
+    # shuffle mode: per-partition hash build on the (big-|V|) state
+    # side, streaming the cached edges — avoids a per-round SMJ re-sort
+    _maybe_bcast = F.broadcast if state_broadcast else (lambda df: df.hint("shuffle_hash"))
     total_edges = g.num_edges()  # directed count of the symmetrized graph
     capacity = total_edges * (1.0 + additional_capacity) / k_total
 

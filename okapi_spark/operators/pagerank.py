@@ -92,17 +92,17 @@ def pagerank(
     n = vertices.count()
     base = (1.0 - damping) / n
 
-    # share = fraction of rank sent along each out-edge
-    if weighted:
-        tot = graph.edges.groupBy("src").agg(F.sum("weight").alias("wsum"))
-        shares = graph.edges.join(tot, "src").select(
-            "src", "dst", (F.col("weight") / F.col("wsum")).alias("share")
-        )
-    else:
-        deg = graph.out_degrees().withColumnRenamed("id", "src")
-        shares = graph.edges.join(deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
-        )
+    # share = fraction of rank sent along each out-edge; out_deg kept
+    # for the shuffle-mode salting census
+    degw = graph.edges.groupBy("src").agg(
+        F.count("*").alias("out_deg"), F.sum("weight").alias("wsum")
+    )
+    share_expr = (
+        (F.col("weight") / F.col("wsum")) if weighted else (F.lit(1.0) / F.col("out_deg"))
+    )
+    shares = graph.edges.join(degw, "src").select(
+        "src", "dst", share_expr.alias("share"), "out_deg"
+    )
 
     if mode in ("csr", "csr_cogroup") and n > broadcast_threshold:
         # both csr modes move the full |V|-row rank state through the
@@ -115,54 +115,110 @@ def pagerank(
             "Use mode='sql' (auto-selects the shuffle plan at this scale)."
         )
     if mode == "csr":
-        shares = shares.withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+        shares = shares.select("src", "dst", "share").withColumn(
+            "pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int")
+        )
         shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
     elif mode == "csr_cogroup":
-        shares = shares.withColumn("pid", F.pmod(F.xxhash64("src"), F.lit(num_partitions)).cast("int"))
+        shares = shares.select("src", "dst", "share").withColumn(
+            "pid", F.pmod(F.xxhash64("src"), F.lit(num_partitions)).cast("int")
+        )
         shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
     elif state_broadcast is None:
         state_broadcast = n <= broadcast_threshold
+    n_edges = graph.num_edges()
+    salted = mode == "sql" and not state_broadcast
     if mode == "sql" and state_broadcast:
         # zero-exchange layout: edges by dst, state broadcast into the
         # src join, groupBy(dst) is partition-complete (Graph.by_dst)
-        shares = shares.repartition(num_partitions, "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    elif mode == "sql":
-        shares = shares.repartition(num_partitions, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        shares = shares.select("src", "dst", "share").repartition(
+            num_partitions, "dst"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    elif salted:
+        # SALTED co-partitioned layout (north rule: explicit salted-key
+        # repartitioning for high-degree skew). Hash-partitioning the
+        # cached edges by raw src puts a power-law hub's entire edge
+        # list in ONE task, which makes the per-superstep join
+        # skew-bound and core-count-insensitive (measured: flat
+        # ~14.5s/superstep at both 8 and 32 cores, 240M Zipf edges).
+        # Each src gets nsalt = ceil(out_deg / target) shards with
+        # rows spread by hash(dst); the rank state explodes each
+        # vertex over ITS OWN nsalt (tail vertices: 1 row), so the
+        # exploded state stays ~|V| + a few rows per hub shard.
+        target = max(1024, n_edges // (num_partitions * 8))
+        nsalt_expr = F.greatest(
+            F.lit(1),
+            F.least(F.lit(4 * num_partitions), F.ceil(F.col("out_deg") / F.lit(target))),
+        ).cast("int")
+        shares = (
+            shares.select(
+                "src", "dst", "share",
+                F.pmod(F.xxhash64("dst"), nsalt_expr).cast("int").alias("salt"),
+            )
+            .repartition(num_partitions, "src", "salt")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nsalt_map = degw.select(
+            F.col("src").alias("id"), nsalt_expr.alias("nsalt")
+        )
     shares.count()  # materialize once
 
-    state0 = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    if salted:
+        # carry each vertex's shard count in the state so the explode
+        # needs no per-superstep join against a salt table
+        state0 = vertices.join(nsalt_map, "id", "left").select(
+            "id", F.lit(1.0 / n).alias("rank"),
+            F.coalesce("nsalt", F.lit(1)).alias("nsalt"),
+        )
+    else:
+        state0 = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
     epoch = next(_EPOCH_COUNTER)  # unique CSR cache namespace per call
     bcast_slot: list = [None]  # previous superstep's rank broadcast
-
-    n_edges = graph.num_edges()
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
             msgs = _csr_messages_bcast(shares, state, epoch, bcast_slot)
         elif mode == "csr_cogroup":
             msgs = _csr_messages(shares, state, num_partitions, epoch)
-        else:
-            ranks = state.select("id", "rank").withColumnRenamed("id", "src")
-            if state_broadcast:
-                ranks = F.broadcast(ranks)
+        elif state_broadcast:
+            ranks = F.broadcast(state.select("id", "rank").withColumnRenamed("id", "src"))
             msgs = (
                 shares.join(ranks, "src")
                 .select("dst", (F.col("rank") * F.col("share")).alias("m"))
                 .groupBy("dst")
                 .agg(F.sum("m").alias("msum"))
             )
+        else:
+            # shuffle fallback: explode each vertex over its own shard
+            # count and equi-join on (src, salt) — co-partitioned with
+            # the cached salted edge layout, so only the ~|V|-row
+            # exploded state shuffles. shuffle_hash builds the hash on
+            # that small side and STREAMS the edges (a SortMergeJoin
+            # would re-sort the edge set every superstep)
+            ranks = state.select(
+                F.col("id").alias("src"), "rank",
+                F.explode(F.sequence(F.lit(0), F.col("nsalt") - 1)).alias("salt"),
+            ).hint("shuffle_hash")
+            msgs = (
+                shares.join(ranks, ["src", "salt"])
+                .select("dst", (F.col("rank") * F.col("share")).alias("m"))
+                .groupBy("dst")
+                .agg(F.sum("m").alias("msum"))
+            )
+        keep = [state["nsalt"]] if salted else []
         new_state = (
             state.join(msgs, state["id"] == msgs["dst"], "left")
             .select(
                 state["id"],
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
                 state["rank"].alias("prev"),
+                *keep,
             )
         )
         if iterations is not None:
             # fixed budget: no convergence metric → one action per superstep
-            return new_state.select("id", "rank"), {"edges_processed": n_edges}
+            return new_state.drop("prev"), {"edges_processed": n_edges}
 
         def post(materialized: DataFrame) -> dict:
             delta = materialized.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]

@@ -77,6 +77,10 @@ def sybilrank(
         sends = state.select("id", "send").withColumnRenamed("id", "src")
         if state_broadcast:
             sends = F.broadcast(sends)
+        else:
+            # stream cached edges vs per-partition trust hash (no SMJ
+            # re-sort of the edge set; see pagerank.py shuffle branch)
+            sends = sends.hint("shuffle_hash")
         recv = (
             shares.join(sends, "src")
             .select("dst", (F.col("send") * F.col("share")).alias("m"))

@@ -120,3 +120,45 @@ def write_adjacency_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
     adj.select(
         F.concat_ws(sep, F.col("src"), F.concat_ws(sep, F.transform("nbrs", lambda x: x.cast("string")))).alias("value")
     ).write.mode("overwrite").text(path)
+
+
+def write_cf_model(user_factors: DataFrame, item_factors: DataFrame, path: str) -> None:
+    """Trained-model text format of the reference's evaluation path
+    (cf/eval/CfModelInputFormat.java:30-44, produced by runOkapi.py):
+    one ``{id} {type}\\t[f1; f2; ...]`` line per vertex, type 0 = user,
+    1 = item (CfLongId encoding, cf/CfLongId.java:29-53)."""
+
+    def fmt(df: DataFrame, t: int) -> DataFrame:
+        return df.select(
+            F.concat(
+                F.col("id").cast("string"),
+                F.lit(f" {t}\t["),
+                F.array_join(
+                    F.transform("factors", lambda x: F.format_string("%.6f", x)), "; "
+                ),
+                F.lit("]"),
+            ).alias("value")
+        )
+
+    fmt(user_factors, 0).unionAll(fmt(item_factors, 1)).write.mode("overwrite").text(path)
+
+
+def read_cf_model(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Inverse of ``write_cf_model``; returns (user_factors,
+    item_factors), each (id long, factors array<double>) — feedable
+    straight into the ranking evaluators (the reference's second-job
+    model reload, bin/runOkapi.py:297-315)."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    id_type = F.split(F.split("value", "\t").getItem(0), " ")
+    vec_str = F.regexp_replace(F.split("value", "\t").getItem(1), r"[\[\]]", "")
+    parsed = lines.select(
+        id_type.getItem(0).cast("long").alias("id"),
+        id_type.getItem(1).cast("int").alias("vtype"),
+        F.transform(
+            F.split(vec_str, ";"), lambda x: F.trim(x).cast("double")
+        ).alias("factors"),
+    )
+    return (
+        parsed.filter("vtype = 0").select("id", "factors"),
+        parsed.filter("vtype = 1").select("id", "factors"),
+    )

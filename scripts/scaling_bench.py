@@ -24,6 +24,7 @@ from okapi_spark.graph.graph import Graph
 from okapi_spark.operators.pagerank import pagerank
 
 cores = int(sys.argv[1]); n_edges = int(sys.argv[2]); iters = int(sys.argv[3])
+state_broadcast = {"broadcast": True, "shuffle": False}.get(sys.argv[4] if len(sys.argv) > 4 else "auto")
 spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale{cores}")
 e = generate_edges(spark, n_edges, n_vertices=max(1000, n_edges // 5000))
 # cache=False: pagerank caches its own dst-partitioned `shares`; caching
@@ -34,7 +35,8 @@ spark.sparkContext._jvm.System.gc()  # drain setup garbage before timing
 # single run; per-superstep timing excludes the one-time shares build;
 # the first 3 supersteps (JIT/codegen/GC warm) are dropped from the metric
 t0 = time.time()
-res = pagerank(g, iterations=iters, mode="sql", num_partitions=cores)
+res = pagerank(g, iterations=iters, mode="sql", num_partitions=cores,
+               state_broadcast=state_broadcast)
 res.state.count()
 wall = time.time() - t0
 times = [round(x["superstep_sec"], 2) for x in res.metrics_log]
@@ -53,12 +55,12 @@ spark.stop()
 """
 
 
-def run(cores: int, n_edges: int, iters: int) -> dict:
+def run(cores: int, n_edges: int, iters: int, plan: str = "auto") -> dict:
     import os
 
     env = dict(os.environ, OKAPI_DRIVER_MEM="80g")
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters)],
+        [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan],
         capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -68,8 +70,14 @@ def run(cores: int, n_edges: int, iters: int) -> dict:
 def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000_000
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    lo = run(8, n_edges, iters)
-    hi = run(32, n_edges, iters)
+    # plan: "auto" (broadcast below threshold), "broadcast", or
+    # "shuffle" — the cluster-scale two-shuffle fallback that runs when
+    # |V| no longer fits a broadcast; evidencing BOTH plans scale is
+    # part of the scale story (the fallback is what executes at 10^10+
+    # vertices)
+    plan = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    lo = run(8, n_edges, iters, plan)
+    hi = run(32, n_edges, iters, plan)
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / 4.0
     # median basis: robust to the multi-second G1 full-GC pauses that
     # randomly hit either side and make single-run sum-basis numbers
@@ -82,7 +90,7 @@ def main() -> None:
     print(json.dumps(result, indent=2))
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, pagerank x{iters})\n\n"
+            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, pagerank x{iters}, plan={plan})\n\n"
             f"| parallelism | superstep wall (s) | median ss (s) | edges/sec/superstep (median basis) |\n|---|---|---|---|\n"
             f"| local[8]  | {lo['superstep_sec']} | {lo['median_superstep_sec']} | {lo['edges_per_sec_median']:,} |\n"
             f"| local[32] | {hi['superstep_sec']} | {hi['median_superstep_sec']} | {hi['edges_per_sec_median']:,} |\n\n"

@@ -45,3 +45,29 @@ def test_write_round_trip(spark, tmp_path):
         line for f in adj_out.glob("part-*") for line in f.read_text().splitlines()
     )
     assert lines == ["1\t2", "2\t3"]
+
+
+def test_cf_model_round_trip(spark, tmp_path):
+    from okapi_spark.sources.edgelist import read_cf_model, write_cf_model
+
+    uf = spark.createDataFrame(
+        [(32729, [0.883140, 0.126675]), (7563, [0.544951, 0.719476])],
+        "id long, factors array<double>",
+    )
+    itf = spark.createDataFrame(
+        [(5007, [0.726413, 0.968422]), (304, [0.368630, 0.468095])],
+        "id long, factors array<double>",
+    )
+    path = str(tmp_path / "model")
+    write_cf_model(uf, itf, path)
+    # line format matches CfModelInputFormat.java:30-44 exactly
+    raw = {r.value for r in spark.read.text(path).collect()}
+    assert "32729 0\t[0.883140; 0.126675]" in raw
+    assert "5007 1\t[0.726413; 0.968422]" in raw
+    ru, ri = read_cf_model(spark, path)
+    assert {(r.id, tuple(r.factors)) for r in ru.collect()} == {
+        (32729, (0.883140, 0.126675)), (7563, (0.544951, 0.719476))
+    }
+    assert {(r.id, tuple(r.factors)) for r in ri.collect()} == {
+        (5007, (0.726413, 0.968422)), (304, (0.368630, 0.468095))
+    }

@@ -61,3 +61,22 @@ def test_pagerank_partitioning_invariance(spark):
     b = {r.id: r.rank for r in r8.state.collect()}
     for v in a:
         assert abs(a[v] - b[v]) < 1e-9
+
+
+def test_pagerank_salted_shuffle_branch_matches_oracle(spark):
+    """The cluster-scale salted shuffle fallback (state_broadcast=False,
+    degree-proportional (src, salt) layout + exploded state) must reach
+    the same fixpoint as the NumPy oracle and the broadcast plan."""
+    edges = _er_graph()
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long, weight double"))
+    res = pagerank(g, tol=1e-7, max_supersteps=200, mode="sql", state_broadcast=False)
+    assert res.converged
+    got = {r.id: r.rank for r in res.state.collect()}
+    want = pagerank_oracle([(s, d) for s, d, _ in edges], tol=1e-7)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-6, f"vertex {v}"
+    bres = pagerank(g, iterations=7, state_broadcast=True)
+    sres = pagerank(g, iterations=7, state_broadcast=False)
+    b = {r.id: r.rank for r in bres.state.collect()}
+    s = {r.id: r.rank for r in sres.state.collect()}
+    assert max(abs(b[v] - s[v]) for v in b) < 1e-12

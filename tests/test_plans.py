@@ -96,3 +96,28 @@ def test_symmetric_distinct_canonicalization_is_exchange_free(spark):
 
     assert count_exchanges(_canonical(g_fast)) == 0
     assert count_exchanges(_canonical(g_slow)) >= 1
+
+
+def test_shuffle_mode_superstep_builds_hash_not_sort(spark):
+    """The cluster-scale fallback must stream the cached edges against
+    a per-partition hash of the state (ShuffledHashJoin) — a
+    SortMergeJoin would re-sort the full edge set every superstep
+    (measured 5x slower per superstep at 240M edges)."""
+    from okapi_spark.plans.inspect import plan_node_names
+
+    e = generate_edges(spark, 50_000, 2_000)
+    g = Graph.from_edges(e)
+    shares = g.edges.select("src", "dst", F.lit(1.0).alias("share"))
+    shares = shares.repartition(8, "src").persist()
+    shares.count()
+    state = g.vertices().select(F.col("id").alias("src"), F.lit(0.1).alias("rank"))
+    msgs = (
+        shares.join(state.hint("shuffle_hash"), "src")
+        .select("dst", (F.col("rank") * F.col("share")).alias("m"))
+        .groupBy("dst")
+        .agg(F.sum("m").alias("msum"))
+    )
+    names = plan_node_names(msgs)
+    assert any("ShuffledHashJoin" in n for n in names), names
+    assert not any("SortMergeJoin" in n for n in names), names
+    shares.unpersist()
