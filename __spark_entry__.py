@@ -208,9 +208,10 @@ def _q_semimetric(spark, sf_dir):
 def _q_spinner(spark, sf_dir):
     # full-protocol Spinner on the weighted co-purchase graph; the
     # migration protocol (hash uniforms, remaining/demand damping) is
-    # not practically SQL-expressible, so this entry has no oracle_sql
-    # and the driver records the weaker rows/schema check; protocol
-    # invariants are pytest-covered (tests/test_lpa.py)
+    # not practically SQL-expressible, so the oracle is a pinned-seed
+    # golden snapshot (goldens/; partitioning-invariance in
+    # tests/test_golden_invariance.py); protocol invariants are
+    # pytest-covered (tests/test_lpa.py)
     from okapi_spark.operators.lpa import spinner_partition
 
     res = spinner_partition(_weighted_graph(spark, sf_dir), k=8, max_iterations=8, seed=5)
@@ -276,8 +277,11 @@ def _q_ngram_jaccard(spark, sf_dir):
 
     # exact (no LSH recall loss) n-gram Jaccard near-dup pairs, blocked
     # on the shared-shingle postings join — lower threshold than the
-    # minhash entry so both paths are exercised independently
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    # minhash entry so both paths are exercised independently.
+    # max_doc_freq=None: the oracle SQL has no df cap, so the engine
+    # must run uncapped too (the default cap only matters at larger sf
+    # and would make the gate spuriously diverge there)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3, max_doc_freq=None)
 
 
 def _q_cosine_near_dups(spark, sf_dir):
@@ -311,39 +315,55 @@ def _q_popularity(spark, sf_dir):
 
 def _q_als(spark, sf_dir):
     # ALS matrix factorization (cf/als/Als.java:51-285) on the derived
-    # ratings; the per-vertex linear solve is not SQL-expressible, so
-    # this entry has no oracle_sql (rows-only check) — the numeric
-    # kernel is pytest-verified against the reference's golden factors
-    # (AlsTest.java:32-63) in tests/test_cf.py
+    # ratings, through the REAL distributed per-vertex solve
+    # (applyInPandas), oracled exactly: at vector_size=1 the solve
+    # (M·Mᵀ + λ|R|I)u = M·R degenerates to grouped sums, so two
+    # alternating iterations unroll into four SQL aggregations.
+    # The deterministic explicit item init replaces the hash-uniform
+    # default (the reference's unseeded Random, Als.java:169-172) so
+    # DuckDB can reproduce it; the 3-D solve path keeps its own golden
+    # check against the reference factors (AlsTest.java:32-63) in
+    # tests/test_cf.py.
     from okapi_spark.operators.cf import als
 
-    _, itf, _ = als(_ratings(spark, sf_dir), vector_size=3, iterations=2)
-    return itf.select(
-        "id", *[F.round(F.element_at("factors", i + 1), 6).alias(f"f{i}") for i in range(3)]
+    ratings = _ratings(spark, sf_dir)
+    init = (
+        ratings.select(F.col("item").alias("id")).distinct()
+        .select("id", F.array(F.lit(0.01) * (F.col("id") % 997) / 997.0).alias("factors"))
     )
+    _, itf, _ = als(ratings, vector_size=1, iterations=2, init_item_factors=init)
+    return itf.select("id", F.round(F.element_at("factors", 1), 6).alias("f0"))
 
 
 def _q_precision_at_5(spark, sf_dir):
     # Precision@5 protocol (cf/eval/RankEvaluationComputation.java:43-172)
-    # for the popularity model: 100 hash-sampled unrated negatives per
-    # user + relevant test items, ranked by score. The xxhash64 negative
-    # sampling has no DuckDB equivalent → rows-only check; protocol
-    # shape (Pop ≫ Random) is pytest-verified in tests/test_svdpp_ranking.py
-    from okapi_spark.operators.cf import precision_at_k
+    # for the popularity model, under the EXHAUSTIVE candidate pool
+    # (num_samples=None: every unconnected item is a negative) — the
+    # deterministic, SQL-expressible oracle tier; per-user p values are
+    # exact multiples of 1/5 so rows compare exactly. The sampled
+    # protocol (100 xxhash64-drawn negatives — the scale path) is
+    # pytest-verified (Pop ≫ Random) in tests/test_svdpp_ranking.py.
+    from okapi_spark.operators.cf import precision_at_k_per_user
     from okapi_spark.operators.ranking import popularity_ranking
 
     ratings = _ratings(spark, sf_dir).persist()
     uf, itf = popularity_ranking(ratings)
     relevant = ratings.filter(F.col("rating") >= 2.0).select("user", "item")
-    p = precision_at_k(uf, itf, relevant, k=5, num_samples=100, rated=ratings)
-    return spark.createDataFrame([(round(p, 6),)], "precision_at_5 double")
+    per_user = precision_at_k_per_user(
+        uf, itf, relevant, k=5, num_samples=None, rated=ratings
+    )
+    return per_user.select(F.col("user").alias("user_id"), F.col("p").alias("p5"))
 
 
 def _q_svdpp(spark, sf_dir):
     # SVD++ (cf/svd/Svdpp.java:48-567) — baseline+factor+weight state;
-    # per-vertex vector updates are not SQL-expressible → rows-only;
-    # the update/predict formulas are pytest-verified against the
-    # reference's golden unit values (SvdppTest.java:43-138)
+    # the per-vertex sequential fold is not SQL-expressible, so the
+    # oracle is a PINNED-SEED GOLDEN SNAPSHOT (goldens/, see
+    # scripts/make_goldens.py) rendered as a VALUES table: a hard hash
+    # check against the recorded output, which pytest verifies is
+    # partitioning-invariant (tests/test_golden_invariance.py); the
+    # update/predict formulas are additionally pytest-verified against
+    # the reference's golden unit values (SvdppTest.java:43-138)
     from okapi_spark.operators.svdpp import svdpp
 
     _, itf, _ = svdpp(_ratings(spark, sf_dir), vector_size=3, iterations=1)
@@ -352,8 +372,10 @@ def _q_svdpp(spark, sf_dir):
 
 def _q_semicluster(spark, sf_dir):
     # Pregel-paper semi-clustering (graphs/SemiClustering.java:61-495):
-    # set-valued vertex state (top-k cluster structs) → rows-only;
-    # golden behavior pytest-verified in tests/test_semiclustering.py
+    # set-valued vertex state → pinned-seed golden snapshot oracle
+    # (goldens/; partitioning-invariance in
+    # tests/test_golden_invariance.py); golden behavior additionally
+    # pytest-verified in tests/test_semiclustering.py
     from okapi_spark.operators.semiclustering import semi_clustering
 
     out = semi_clustering(_weighted_graph(spark, sf_dir), iterations=2)
@@ -408,7 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmatching_3": _q_bmatching,
         "kmeans_2": _q_kmeans,
         "semimetric": _q_semimetric,
-        "spinner_8": _q_spinner,  # no oracle_sql: rows-only check
+        "spinner_8": _q_spinner,  # oracle: pinned-seed golden snapshot
         "jaccard": _q_jaccard,
         "adamic_adar": _q_adamic_adar,
         "clustering_coef": _q_clustering_coef,
@@ -425,10 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "popularity_rank": _q_popularity,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
-        "als_2": _q_als,  # no oracle_sql: rows-only (per-vertex solves)
-        "precision_at_5_pop": _q_precision_at_5,  # no oracle_sql: hash sampling
-        "svdpp_1": _q_svdpp,  # no oracle_sql: rows-only (vector state updates)
-        "semicluster_2": _q_semicluster,  # no oracle_sql: rows-only (set-valued state)
+        "als_2": _q_als,  # oracle: unrolled 1-D solve SQL
+        "precision_at_5_pop": _q_precision_at_5,  # oracle: exhaustive-pool SQL
+        "svdpp_1": _q_svdpp,  # oracle: pinned-seed golden snapshot
+        "semicluster_2": _q_semicluster,  # oracle: pinned-seed golden snapshot
     }
 
 
@@ -829,6 +851,127 @@ WITH r AS (
 SELECT item AS id, CAST(COUNT(*) AS DOUBLE) AS pop FROM r GROUP BY item
 """
 
+# (usr, item, rating=#shared order lines) — mirrors _ratings()
+_RATINGS_CTE = """
+ratings AS (
+  SELECT o.o_custkey AS usr, l.l_partkey AS item, CAST(COUNT(*) AS DOUBLE) AS rating
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)"""
+
+# 1-D ALS, two alternating iterations unrolled: at vector_size=1 the
+# per-vertex normal-equation solve (M·Mᵀ + λ|R|I)u = M·R is
+# Σ(r·q)/(Σq² + λ·n) — a grouped aggregation per half-step. Item init
+# mirrors the Spark entry's explicit deterministic init exactly.
+_ALS_SQL = (
+    "WITH " + _RATINGS_CTE + """,
+itf0 AS (SELECT DISTINCT item AS id, 0.01 * (item % 997) / 997.0 AS q FROM ratings),
+uf1 AS (
+  SELECT r.usr, SUM(r.rating * i.q) / (SUM(i.q * i.q) + 0.01 * COUNT(*)) AS p
+  FROM ratings r JOIN itf0 i ON r.item = i.id GROUP BY r.usr
+),
+itf1 AS (
+  SELECT r.item AS id, SUM(r.rating * u.p) / (SUM(u.p * u.p) + 0.01 * COUNT(*)) AS q
+  FROM ratings r JOIN uf1 u ON r.usr = u.usr GROUP BY r.item
+),
+uf2 AS (
+  SELECT r.usr, SUM(r.rating * i.q) / (SUM(i.q * i.q) + 0.01 * COUNT(*)) AS p
+  FROM ratings r JOIN itf1 i ON r.item = i.id GROUP BY r.usr
+),
+itf2 AS (
+  SELECT r.item AS id, SUM(r.rating * u.p) / (SUM(u.p * u.p) + 0.01 * COUNT(*)) AS q
+  FROM ratings r JOIN uf2 u ON r.usr = u.usr GROUP BY r.item
+)
+SELECT id, ROUND(q, 6) AS f0 FROM itf2"""
+)
+
+# Precision@5 for the popularity model under the exhaustive candidate
+# pool: relevant test items (rating >= 2) + every unconnected item,
+# ranked by item popularity (ties -> smaller item id first).
+_P5_SQL = (
+    "WITH " + _RATINGS_CTE + """,
+pop AS (SELECT item AS id, CAST(COUNT(*) AS DOUBLE) AS score FROM ratings GROUP BY item),
+rel AS (SELECT usr, item FROM ratings WHERE rating >= 2.0),
+eusers AS (SELECT DISTINCT usr FROM rel),
+pool AS (
+  SELECT usr, item, TRUE AS is_rel FROM rel
+  UNION ALL
+  SELECT u.usr, p.id AS item, FALSE AS is_rel
+  FROM eusers u CROSS JOIN pop p
+  WHERE NOT EXISTS (SELECT 1 FROM ratings c WHERE c.usr = u.usr AND c.item = p.id)
+),
+ranked AS (
+  SELECT pool.usr, pool.is_rel,
+         ROW_NUMBER() OVER (PARTITION BY pool.usr ORDER BY p.score DESC, pool.item ASC) AS rn
+  FROM pool JOIN pop p ON pool.item = p.id
+)
+SELECT usr AS user_id, SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) / 5.0 AS p5
+FROM ranked WHERE rn <= 5 GROUP BY usr"""
+)
+
+
+# ---------------------------------------------------------------------------
+# pinned-seed golden-snapshot oracles
+#
+# For the three gate queries whose semantics genuinely aren't
+# SQL-expressible (SVD++'s per-vertex sequential fold, Spinner's
+# migration protocol, semi-clustering's set-valued state), the oracle
+# is a golden snapshot of the deterministic pinned-seed output at the
+# gate's sf, recorded ONCE by scripts/make_goldens.py into goldens/
+# and rendered here as a VALUES table. This is a regression hash
+# check, not an independent recomputation — its integrity rests on the
+# partitioning-invariance tests (tests/test_golden_invariance.py:
+# identical output at 8 vs 32 shuffle partitions) plus the per-
+# operator reference-golden unit tests cited in each query's
+# docstring. If the snapshot file is absent the entry falls back to
+# the rows-only check (oracle omitted).
+# ---------------------------------------------------------------------------
+
+_GOLDEN_NAMES = ("svdpp_1", "spinner_8", "semicluster_2")
+
+
+def _load_goldens() -> dict:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "goldens_sf0.01.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _golden_sql(golden: dict) -> str:
+    duck_type = {int: "BIGINT", float: "DOUBLE", str: "VARCHAR", bool: "BOOLEAN"}
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)  # shortest round-trip repr parses to the identical double
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    cols = golden["columns"]
+    # infer per-column types from the first non-null value
+    types = []
+    for i in range(len(cols)):
+        t = "DOUBLE"
+        for row in golden["rows"]:
+            if row[i] is not None:
+                t = duck_type[type(row[i])]
+                break
+        types.append(t)
+    values = ",\n".join("(" + ", ".join(lit(v) for v in row) + ")" for row in golden["rows"])
+    casts = ", ".join(
+        f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types)
+    )
+    return f"SELECT {casts} FROM (VALUES\n{values}\n) AS t({', '.join(cols)})"
+
 _LANG_ID_SQL = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tkl
@@ -958,7 +1101,9 @@ k{i} AS MATERIALIZED (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {name: _golden_sql(g) for name, g in _load_goldens().items()
+           if name in _GOLDEN_NAMES}
+    return out | {
         "degree": "WITH " + _EDGES_CTE + "\nSELECT id, degree FROM deg",
         "triangle_total": (
             "WITH " + _EDGES_CTE + """
@@ -1003,4 +1148,6 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "popularity_rank": _POPULARITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "als_2": _ALS_SQL,
+        "precision_at_5_pop": _P5_SQL,
     }

@@ -137,6 +137,7 @@ def run_supersteps(
     store: CheckpointStore | None = None,
     checkpoint_every: int = 1,
     verbose: bool = False,
+    restore_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> BSPResult:
     """Drive the superstep loop to halt/convergence.
 
@@ -144,7 +145,10 @@ def run_supersteps(
     (fast, not crash-resumable); with a store, parquet write-and-reread
     every ``checkpoint_every`` supersteps (localCheckpoint in between).
     If the store already has lineage, the loop RESUMES from the latest
-    complete superstep.
+    complete superstep. ``restore_fn`` is applied once to a restored
+    state before resuming — the hook for re-deriving plan-dependent
+    state columns (e.g. pagerank's per-vertex salt shard count, which
+    depends on the CURRENT run's parallelism, not the crashed run's).
     """
     spark = state0.sparkSession
     state = state0
@@ -159,6 +163,8 @@ def run_supersteps(
             log = [e["metrics"] | {"superstep": e["superstep"]} for e in store.lineage()]
             if tip["metrics"].get("_halted"):
                 return BSPResult(state, start_ss, True, log)
+            if restore_fn is not None:
+                state = restore_fn(state).localCheckpoint(eager=True)
 
     converged = False
     prev_cached: DataFrame | None = None

@@ -105,16 +105,26 @@ def als(
     iterations: int = 10,
     rmse_target: float = -1.0,
     seed: int = 42,
+    init_item_factors: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """ratings: (user long, item long, rating double).
-    Returns (user_factors, item_factors, rmse_per_iteration)."""
+    Returns (user_factors, item_factors, rmse_per_iteration).
+
+    ``init_item_factors``: optional (id, factors) overriding the
+    hash-uniform item init (the reference's unseeded-Random analogue,
+    Als.java:169-172). The user init is irrelevant either way — the
+    first half-step re-solves the user side from the item factors."""
     ratings = ratings.select(
         F.col("user").cast("long"), F.col("item").cast("long"), F.col("rating").cast("double")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
     uf = _init_factors(users, "id", vector_size, seed, "user")
-    itf = _init_factors(items, "id", vector_size, seed, "item")
+    itf = (
+        init_item_factors.select("id", "factors")
+        if init_item_factors is not None
+        else _init_factors(items, "id", vector_size, seed, "item")
+    )
     log: list[float] = []
     for _ in range(iterations):
         uf = _solve_side(ratings, itf, "user", "item", lambda_, vector_size).localCheckpoint(eager=True)
@@ -218,24 +228,34 @@ def _eval_scored_pool(
         F.col("user").cast("long"), F.col("item").cast("long"), F.lit(True).alias("is_rel")
     )
     users = rel.select("user").distinct()
-    items_idx, n_items = _item_index(item_factors.select("id"))
     connected = rel.select("user", "item")
     if rated is not None:
         connected = connected.unionByName(
             rated.select(F.col("user").cast("long"), F.col("item").cast("long"))
         ).distinct()
-    draws = users.crossJoin(
-        F.broadcast(
-            items_idx.sparkSession.range(num_samples).select(F.col("id").alias("pos"))
+    if num_samples is None:
+        # exhaustive protocol: EVERY unconnected item is a negative.
+        # O(|U|·|I|) rows — the oracle-parity tier (SQL-expressible, no
+        # hash sampling); the sampled protocol below is the scale path.
+        neg = (
+            users.crossJoin(item_factors.select(F.col("id").alias("item")))
+            .join(connected, ["user", "item"], "left_anti")
+            .withColumn("is_rel", F.lit(False))
         )
-    )
-    neg = (
-        _sample_negatives(draws, connected, items_idx, n_items, f"eval{seed}", seed)
-        .select("user", F.col("neg").alias("item"))
-        .distinct()
-        .join(connected, ["user", "item"], "left_anti")
-        .withColumn("is_rel", F.lit(False))
-    )
+    else:
+        items_idx, n_items = _item_index(item_factors.select("id"))
+        draws = users.crossJoin(
+            F.broadcast(
+                items_idx.sparkSession.range(num_samples).select(F.col("id").alias("pos"))
+            )
+        )
+        neg = (
+            _sample_negatives(draws, connected, items_idx, n_items, f"eval{seed}", seed)
+            .select("user", F.col("neg").alias("item"))
+            .distinct()
+            .join(connected, ["user", "item"], "left_anti")
+            .withColumn("is_rel", F.lit(False))
+        )
     pool = rel.select("user", "item", "is_rel").unionByName(neg)
     return (
         pool.join(user_factors.withColumnRenamed("id", "user").withColumnRenamed("factors", "ufac"), "user")
@@ -249,12 +269,34 @@ def _eval_scored_pool(
     )
 
 
+def precision_at_k_per_user(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    relevant: DataFrame,
+    k: int = 5,
+    num_samples: int | None = 100,
+    seed: int = 0,
+    rated: DataFrame | None = None,
+) -> DataFrame:
+    """(user, p) — per-user Precision@k under the candidate-pool
+    protocol of :func:`precision_at_k`. ``num_samples=None`` switches
+    to the exhaustive pool (every unconnected item a negative) — the
+    deterministic, SQL-expressible oracle tier; p values are exact
+    multiples of 1/k, so the rows compare exactly."""
+    from pyspark.sql import Window
+
+    scored = _eval_scored_pool(user_factors, item_factors, relevant, num_samples, seed, rated)
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy("user").agg((F.sum(F.col("is_rel").cast("int")) / k).alias("p"))
+
+
 def precision_at_k(
     user_factors: DataFrame,
     item_factors: DataFrame,
     relevant: DataFrame,
     k: int = 5,
-    num_samples: int = 100,
+    num_samples: int | None = 100,
     seed: int = 0,
     rated: DataFrame | None = None,
 ) -> float:
@@ -264,12 +306,9 @@ def precision_at_k(
     test items by factor dot product; precision = relevant in top-k / k).
     ``rated``: (user, item) training pairs to exclude from negatives —
     the reference's "irrelevant" items are those with no edge at all."""
-    from pyspark.sql import Window
-
-    scored = _eval_scored_pool(user_factors, item_factors, relevant, num_samples, seed, rated)
-    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
-    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    per_user = topk.groupBy("user").agg((F.sum(F.col("is_rel").cast("int")) / k).alias("p"))
+    per_user = precision_at_k_per_user(
+        user_factors, item_factors, relevant, k, num_samples, seed, rated
+    )
     return float(per_user.agg(F.avg("p")).collect()[0][0])
 
 

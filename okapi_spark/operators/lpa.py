@@ -107,7 +107,14 @@ def label_propagation(
         )
 
         def post(materialized: DataFrame) -> dict:
-            return {"changed": materialized.filter("changed").count()}
+            row = materialized.agg(
+                F.count(F.when(F.col("changed"), F.lit(1))).alias("c"),
+                # order-insensitive state fingerprint (xor never
+                # overflows, unlike an ANSI-mode long sum); ids are
+                # unique so no (id,lbl) pair can self-cancel
+                F.expr("bit_xor(xxhash64(id, lbl))").alias("h"),
+            ).collect()[0]
+            return {"changed": int(row["c"]), "state_hash": int(row["h"])}
 
         return new_state, post
 
@@ -115,13 +122,16 @@ def label_propagation(
         halt = None
         max_ss = iterations
     else:
-        prev: list[int] = []
+        seen: set[int] = set()
 
         def halt(ss: int, m: dict) -> bool:
-            c = m["changed"]
-            osc = len(prev) >= 2 and c == prev[-2] and prev[-1] == prev[-2]
-            prev.append(c)
-            return c == 0 or osc
+            # oscillation = the exact label STATE repeats (bipartite
+            # 2-cycles etc.); equal consecutive changed-COUNTS while
+            # labels are still moving must NOT halt (their hashes differ)
+            h = m["state_hash"]
+            osc = h in seen
+            seen.add(h)
+            return m["changed"] == 0 or osc
 
         max_ss = max_supersteps
 

@@ -163,6 +163,7 @@ def pagerank(
         )
     shares.count()  # materialize once
 
+    restore_fn = None
     if salted:
         # carry each vertex's shard count in the state so the explode
         # needs no per-superstep join against a salt table
@@ -170,6 +171,17 @@ def pagerank(
             "id", F.lit(1.0 / n).alias("rank"),
             F.coalesce("nsalt", F.lit(1)).alias("nsalt"),
         )
+
+        # nsalt is plan-dependent (derived from THIS run's parallelism
+        # and edge count). A checkpointed state from a crashed run may
+        # carry smaller shard counts than the current salted edge
+        # layout uses — edges with salt >= the stale nsalt would match
+        # no exploded state row and silently drop rank mass. Re-derive
+        # on resume instead of trusting the persisted column.
+        def restore_fn(df: DataFrame) -> DataFrame:
+            return df.drop("nsalt").join(nsalt_map, "id", "left").select(
+                "id", "rank", F.coalesce("nsalt", F.lit(1)).alias("nsalt")
+            )
     else:
         state0 = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
@@ -234,7 +246,8 @@ def pagerank(
     with aqe_off:
         if iterations is not None:
             result = run_supersteps(
-                state0, superstep, max_supersteps=iterations, halt_fn=None, store=store
+                state0, superstep, max_supersteps=iterations, halt_fn=None, store=store,
+                restore_fn=restore_fn,
             )
         else:
             result = run_supersteps(
@@ -243,6 +256,7 @@ def pagerank(
                 max_supersteps=max_supersteps,
                 halt_fn=lambda ss, m: m["max_delta"] < tol,
                 store=store,
+                restore_fn=restore_fn,
             )
     result.state = result.state.select("id", "rank")
     if bcast_slot[0] is not None:

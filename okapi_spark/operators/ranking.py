@@ -184,6 +184,20 @@ def _sigmoid_d(x: np.ndarray) -> np.ndarray:
 # BPR
 # ---------------------------------------------------------------------------
 
+def _bpr_triples(
+    ratings: DataFrame, items_idx: DataFrame, n_items: int, it: int, seed: int
+) -> DataFrame:
+    """One BPR epoch's (user, pos, neg) triples: every rated (user,
+    item) is a positive with a hash-derived negative. A probed draw can
+    still collide after 3 rejections — the final ``left_anti`` drops
+    the triple rather than train on a rated item as its "negative"."""
+    pos = ratings.select("user", F.col("item").alias("pos"))
+    triples = _sample_negatives(pos, ratings, items_idx, n_items, f"neg{it}", seed)
+    return triples.join(
+        ratings.select("user", F.col("item").alias("neg")), ["user", "neg"], "left_anti"
+    )
+
+
 def bpr_ranking(
     ratings: DataFrame,
     vector_size: int = 10,
@@ -221,10 +235,7 @@ def bpr_ranking(
         })
 
     for it in range(iterations):
-        # full epoch: every rated (user, item) is a positive; a
-        # hash-derived negative is drawn per pair per iteration
-        pos = ratings.select("user", F.col("item").alias("pos"))
-        triples = _sample_negatives(pos, ratings, items_idx, n_items, f"neg{it}", seed)
+        triples = _bpr_triples(ratings, items_idx, n_items, it, seed)
 
         j = (
             triples.join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "pu"), "user")
@@ -253,16 +264,39 @@ def _buffer_harness(
     iterations: int,
     seed: int,
     sample_irrelevant: bool,
+    max_buffer: int | None = 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """The reference's sample→send→update→apply cycle
     (AbstractCFRankingComputation.java:103-135) as one grouped-kernel
     pass per iteration: per user, gather the buffer (relevant items +
     optionally |R| hash-sampled irrelevant items, :268-294), hand the
     stacked factor matrix to ``kernel`` (vectorized NumPy), aggregate
-    the emitted deltas per id, apply."""
+    the emitted deltas per id, apply.
+
+    ``max_buffer`` bounds the per-user relevant set (reference
+    precedent: getBufferSize caps the message buffer): the kernels
+    build |R|×|R| pairwise matrices, so an uncapped power user with
+    10^5 relevant items would OOM a worker. Items are kept by
+    deterministic hash order (xxhash64(user, item, seed)), so the
+    truncation is a stable sample, not a head-of-table bias. Capped
+    once up front — the relevant set is static across iterations."""
     ratings = ratings.select(
         F.col("user").cast("long"), F.col("item").cast("long")
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if max_buffer is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user").orderBy(
+            F.xxhash64("user", "item", F.lit(seed)), F.col("item")
+        )
+        capped = (
+            ratings.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_buffer)
+            .drop("rn")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        capped = ratings
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
     items_idx, n_items = _item_index(items)
@@ -271,13 +305,14 @@ def _buffer_harness(
     itf = _init_factors(items, "i", vector_size, seed)
 
     for it in range(iterations):
-        rel = ratings.select("user", "item").withColumn("rel", F.lit(True))
+        rel = capped.select("user", "item").withColumn("rel", F.lit(True))
         if sample_irrelevant:
             # one irrelevant draw per relevant edge = |R| per user
-            # (getBufferSize(numberOfRelevants) = numberOfRelevants)
+            # (getBufferSize(numberOfRelevants) = numberOfRelevants);
+            # rejection stays against the FULL rated set, not the cap
             irr = (
                 _sample_negatives(
-                    ratings.select("user", F.col("item").alias("pos")),
+                    capped.select("user", F.col("item").alias("pos")),
                     ratings, items_idx, n_items, f"irr{it}", seed,
                 )
                 .select("user", F.col("neg").alias("item"))
@@ -302,6 +337,8 @@ def _buffer_harness(
         itf = _apply_deltas(itf, deltas, "i")
         deltas.unpersist()
     items_idx.unpersist()
+    if capped is not ratings:
+        capped.unpersist()
     return uf, itf
 
 
@@ -312,6 +349,7 @@ def climf_ranking(
     gamma: float = 0.05,
     lambda_: float = 0.01,
     seed: int = 42,
+    max_buffer: int | None = 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """CLiMF — smoothed Mean Reciprocal Rank ascent
     (ClimfRankingComputation.java:59-133; Shi et al., "CLiMF: learning
@@ -363,7 +401,7 @@ def climf_ranking(
         })
 
     return _buffer_harness(ratings, kernel, vector_size, iterations, seed,
-                           sample_irrelevant=False)
+                           sample_irrelevant=False, max_buffer=max_buffer)
 
 
 def tfmap_ranking(
@@ -373,6 +411,7 @@ def tfmap_ranking(
     gamma: float = 0.05,
     lambda_: float = 0.01,
     seed: int = 42,
+    max_buffer: int | None = 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """TFMAP — smoothed Mean Average Precision ascent
     (TFMAPRankingComputation.java:43-148; Shi et al., "TFMAP:
@@ -427,4 +466,4 @@ def tfmap_ranking(
         })
 
     return _buffer_harness(ratings, kernel, vector_size, iterations, seed,
-                           sample_irrelevant=True)
+                           sample_irrelevant=True, max_buffer=max_buffer)

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 STEP_SCHEMA = (
-    "kind string, id long, b double, f array<double>, w array<double>, rmse double"
+    "kind string, id long, src long, b double, f array<double>, w array<double>, rmse double"
 )
 
 
@@ -129,22 +129,32 @@ def svdpp(
             rmse_sum += err * err
             factor_step = factor_gamma * err * (sum_w / sqrt_n + p)
             rows.append(
-                ("step", int(pdf["item"].iloc[j]), bias_gamma * err,
+                ("step", int(pdf["item"].iloc[j]), user, bias_gamma * err,
                  list(factor_step), list(weight_step), 0.0)
             )
-        rows.append(("user", user, ub, list(p), [0.0] * vector_size, rmse_sum))
-        return pd.DataFrame(rows, columns=["kind", "id", "b", "f", "w", "rmse"])
+        rows.append(("user", user, user, ub, list(p), [0.0] * vector_size, rmse_sum))
+        return pd.DataFrame(rows, columns=["kind", "id", "src", "b", "f", "w", "rmse"])
 
     def item_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("step_order", kind="stable")
+        # Deterministic application order: sort steps by the originating user
+        # id (the reference applies Giraph messages in arrival order, which is
+        # nondeterministic; Svdpp.java:404-439). Partitioning-invariant.
+        pdf = pdf.sort_values("src", kind="stable")
         item = int(pdf["id"].iloc[0])
         ib = float(pdf["ibase"].iloc[0])
         q = np.array(pdf["ifac"].iloc[0], dtype=float)
         y = np.array(pdf["iweights"].iloc[0], dtype=float)
-        for _, row in pdf.iterrows():
-            ib = ib + row["b"] - bias_gamma * bias_lambda * ib
-            q = q + np.asarray(row["f"]) - factor_gamma * factor_lambda * q
-            y = y + np.asarray(row["w"]) - factor_gamma * factor_lambda * y
+        # Sequential decay fold v_k = (1-c)·v_{k-1} + s_k has the closed form
+        # v_n = (1-c)^n·v_0 + Σ_k (1-c)^(n-1-k)·s_k — vectorized here.
+        n = len(pdf)
+        exps = np.arange(n - 1, -1, -1, dtype=float)
+        cb, cf = bias_gamma * bias_lambda, factor_gamma * factor_lambda
+        db, df_ = (1.0 - cb) ** exps, (1.0 - cf) ** exps
+        ib = ib * (1.0 - cb) ** n + float(pdf["b"].to_numpy(dtype=float) @ db)
+        fs = np.stack([np.asarray(x, dtype=float) for x in pdf["f"]])
+        ws = np.stack([np.asarray(x, dtype=float) for x in pdf["w"]])
+        q = q * (1.0 - cf) ** n + df_ @ fs
+        y = y * (1.0 - cf) ** n + df_ @ ws
         return pd.DataFrame(
             {"id": [item], "baseline": [ib], "factors": [list(q)], "weights": [list(y)]}
         )
@@ -171,10 +181,7 @@ def svdpp(
         )
         rmse = (out.filter(F.col("kind") == "user").agg(F.sum("rmse")).collect()[0][0] or 0.0)
         rmse = float(np.sqrt(rmse / n_ratings))
-        steps = (
-            out.filter(F.col("kind") == "step")
-            .withColumn("step_order", F.monotonically_increasing_id())
-        )
+        steps = out.filter(F.col("kind") == "step")
         new_itf = (
             steps.join(itf.withColumnRenamed("baseline", "ibase")
                           .withColumnRenamed("factors", "ifac")

@@ -151,12 +151,24 @@ def read_cf_model(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     id_type = F.split(F.split("value", "\t").getItem(0), " ")
     vec_str = F.regexp_replace(F.split("value", "\t").getItem(1), r"[\[\]]", "")
+    # the reference splits on '\[|\]|,|;' (CfModelInputFormat.java:74) —
+    # accept ';' AND ',' separators, drop empty segments, and fail
+    # loudly on non-numeric factors instead of silently yielding nulls
+    factors = F.filter(
+        F.transform(F.split(vec_str, "[;,]"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
     parsed = lines.select(
         id_type.getItem(0).cast("long").alias("id"),
         id_type.getItem(1).cast("int").alias("vtype"),
-        F.transform(
-            F.split(vec_str, ";"), lambda x: F.trim(x).cast("double")
-        ).alias("factors"),
+        F.transform(factors, lambda x: F.when(
+            # assert_true returns NULL when the check holds, raises otherwise
+            F.assert_true(
+                x.cast("double").isNotNull(),
+                F.concat(F.lit("read_cf_model: non-numeric factor segment: "), x),
+            ).isNull(),
+            x.cast("double"),
+        )).alias("factors"),
     )
     return (
         parsed.filter("vtype = 0").select("id", "factors"),

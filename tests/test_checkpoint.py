@@ -84,3 +84,38 @@ def test_kcore_kill_and_resume(spark, tmp_path):
     assert got == want
     ss = [e["superstep"] for e in store.lineage()]
     assert ss == sorted(ss) and len(set(ss)) == len(ss)
+
+
+def test_salted_pagerank_resume_across_parallelism(spark, tmp_path):
+    """ADVICE round-2 (medium): the salted shuffle fallback carries a
+    per-vertex shard count (nsalt) in the checkpointed state, but
+    nsalt is derived from the CURRENT run's parallelism — resuming a
+    crashed run at different parallelism rebuilds the salted edge
+    layout with larger hub shard counts, and edges with salt >= the
+    restored state's nsalt would silently drop their rank mass. The
+    restore hook must re-derive nsalt each run.
+
+    Fixture: a 9k-out-edge hub so nsalt(hub) is 4 at num_partitions=1
+    but 9 at num_partitions=8 (target/cap arithmetic in pagerank.py).
+    """
+    from pyspark.sql import functions as F
+
+    hub = spark.range(1, 9001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    chain = spark.range(1, 101).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"), F.lit(1.0).alias("weight")
+    )
+    g = Graph.from_edges(hub.unionByName(chain))
+
+    golden = pagerank(g, iterations=5, state_broadcast=False, num_partitions=8)
+    want = {r.id: r.rank for r in golden.state.collect()}
+
+    store = CheckpointStore(str(tmp_path / "salted"))
+    pagerank(g, iterations=2, state_broadcast=False, num_partitions=1, store=store)
+    assert store.latest()["superstep"] == 1
+    resumed = pagerank(g, iterations=5, state_broadcast=False, num_partitions=8, store=store)
+    got = {r.id: r.rank for r in resumed.state.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), f"vertex {v}"

@@ -165,3 +165,45 @@ def test_spinner_prior_partitions_resume(spark):
     m1 = res1.metrics_log[0]["migrations"]
     m2 = res2.metrics_log[0]["migrations"]
     assert m2 <= m1  # warm start migrates no more than the cold start
+
+
+def test_lpa_bipartite_oscillation_halts(spark):
+    """Classic LPA on a complete bipartite graph 2-cycles forever
+    (each side adopts the other's min label every round). The state-
+    hash halt must detect the repeat and stop well before the budget."""
+    edges = [(a, b, 1.0) for a in (1, 2, 3) for b in (4, 5, 6)]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res = label_propagation(g, max_supersteps=30)
+    assert res.converged
+    assert res.supersteps <= 6
+    # a genuine oscillation, not quiescence: last round still changed
+    assert res.metrics_log[-1]["changed"] > 0
+
+
+def test_lpa_equal_changed_counts_do_not_halt_early(spark):
+    """Round-3 fix: the old halt fired on three equal consecutive
+    changed-COUNTS. A path graph produces a CONSTANT changed-count
+    (every vertex flips every round as the min-label wave travels)
+    while the label state keeps evolving for ~n rounds — the old rule
+    froze it at superstep 3. The state-hash halt must keep running
+    until the exact state genuinely repeats."""
+    n = 14
+    edges = [(i, i + 1, 1.0) for i in range(1, n)]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    res = label_propagation(g, max_supersteps=60)
+    counts = [m["changed"] for m in res.metrics_log]
+    # fixture guard: the equal-count plateau that tricked the old rule
+    plateau = any(
+        counts[i] == counts[i + 1] == counts[i + 2] and counts[i] > 0
+        for i in range(len(counts) - 2)
+    )
+    assert plateau, f"fixture no longer produces an equal-count plateau: {counts}"
+    assert res.converged
+    assert res.supersteps > 5  # old rule halted after 3 supersteps
+    # the halt really is a state repeat: the run's final state equals
+    # the state two supersteps earlier (period-2 oscillation)
+    s_final = {(r.id, r.lbl) for r in
+               label_propagation(g, iterations=res.supersteps).state.collect()}
+    s_prev2 = {(r.id, r.lbl) for r in
+               label_propagation(g, iterations=res.supersteps - 2).state.collect()}
+    assert s_final == s_prev2

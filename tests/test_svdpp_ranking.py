@@ -137,3 +137,46 @@ def test_bpr_scales_to_large_item_universe(spark):
     uf, itf = bpr_ranking(ratings, vector_size=4, iterations=1)
     assert uf.count() == 50
     assert itf.count() == n_items
+
+
+def test_bpr_negatives_never_rated(spark):
+    """Round-3 fix: over a dense rated set the 3-probe rejection can
+    still land on a rated item; the final left_anti must drop those
+    triples so no (user, neg) pair exists in the ratings."""
+    from okapi_spark.operators.ranking import _bpr_triples, _item_index
+
+    # 5 users x 6 items, all but one item rated per user -> ~83% dense:
+    # a raw draw collides with probability 5/6, and all three probes
+    # collide with probability (5/6)^4 ~ 0.48 per row
+    ratings = (
+        spark.range(5).withColumnRenamed("id", "user")
+        .crossJoin(spark.range(6).withColumnRenamed("id", "item"))
+        .filter("item != (user % 6)")
+        .select("user", "item")
+    )
+    items_idx, n_items = _item_index(ratings.select(F.col("item").alias("id")).distinct())
+    for it in range(4):
+        triples = _bpr_triples(ratings, items_idx, n_items, it, seed=42)
+        bad = triples.join(
+            ratings.select("user", F.col("item").alias("neg")), ["user", "neg"], "left_semi"
+        )
+        assert bad.count() == 0, f"iteration {it}: rated item sampled as negative"
+    items_idx.unpersist()
+
+
+def test_climf_tfmap_power_user_buffer_cap(spark):
+    """Round-3 fix: the CLiMF/TFMAP kernels build |R|x|R| pairwise
+    matrices per user; an uncapped 50k-item power user would need a
+    2.5e9-entry matrix (~20 GB). With max_buffer the kernel sees a
+    deterministic hash-sample of the relevant set and completes in
+    bounded memory, still emitting factors for every user and item."""
+    n_rel = 50_000
+    ratings = spark.range(n_rel).select(
+        F.lit(0).alias("user"), F.col("id").alias("item"), F.lit(1.0).alias("rating")
+    )
+    cu, ci = climf_ranking(ratings, vector_size=4, iterations=1, max_buffer=512)
+    assert cu.count() == 1
+    assert ci.count() == n_rel
+    tu, ti = tfmap_ranking(ratings, vector_size=4, iterations=1, max_buffer=512)
+    assert tu.count() == 1
+    assert ti.count() == n_rel
