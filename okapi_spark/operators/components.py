@@ -11,14 +11,16 @@ Spark plan per superstep — two physical strategies, same fixpoint:
 * broadcast mode (auto when |V| ≤ ``broadcast_threshold``): edges
   cached partitioned by dst, frontier broadcast into the src join →
   groupBy(dst).min is partition-complete, ZERO shuffle exchanges.
-* shuffle mode (cluster-scale |V|): edges stay in their cached
-  src-partitioned layout; the frontier shuffles into the join and
-  groupBy(dst) shuffles messages (classic two-shuffle plan, map-side
-  partial min = Giraph's combiner). Because HashMin's frontier is
-  send-on-change it SHRINKS every superstep, so once the previous
-  round's changed-count drops under ``BROADCAST_FRONTIER_ROWS`` the
-  loop flips the frontier side to a broadcast join adaptively —
-  late supersteps on a 10^10-vertex graph still get the cheap plan.
+* shuffle mode (cluster-scale |V|): edges cached in the degree-
+  proportional SALTED (src, salt) layout (plans.skew — hub edge lists
+  otherwise serialize the join behind one task); the frontier explodes
+  over each vertex's shard count, shuffles into the co-partitioned
+  join, and groupBy(dst) shuffles messages (map-side partial min =
+  Giraph's combiner). Because HashMin's frontier is send-on-change it
+  SHRINKS every superstep, so once the previous round's changed-count
+  drops under ``BROADCAST_FRONTIER_ROWS`` the loop flips the frontier
+  side to a broadcast join adaptively — late supersteps on a
+  10^10-vertex graph still get the cheap plan.
 """
 
 from __future__ import annotations
@@ -63,40 +65,76 @@ def connected_components(
     if frontier_broadcast_rows is None:
         frontier_broadcast_rows = BROADCAST_FRONTIER_ROWS
 
+    n_edges = graph.num_edges()
+    restore_fn = None
     if state_broadcast:
         # dst-partitioned scatter layout: frontier broadcast + partition-
         # complete min-agg ⇒ zero shuffle exchanges per superstep
         edges = graph.by_dst(num_partitions).select("src", "dst")
+        # superstep 0 of the reference folds the local min over
+        # neighbors; here the uniform loop does it — same fixpoint,
+        # one extra round.
+        state0 = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
     else:
-        # cluster-scale: reuse the cached src layout; messages shuffle
-        edges = graph.edges.select("src", "dst")
+        # cluster-scale: SALTED (src, salt) layout (plans.skew) — the
+        # early-round frontier is ~|V| rows and a power-law hub's edge
+        # list in one task would skew-bind the join exactly as in
+        # pagerank's fallback; degree-proportional sharding rebalances
+        # it, and the shrinking frontier still flips to a broadcast
+        # join below frontier_broadcast_rows
+        from okapi_spark.plans.skew import shard_count_expr
 
-    # superstep 0 of the reference folds the local min over neighbors;
-    # here the uniform loop does it — same fixpoint, one extra round.
-    state0 = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
+        degw = graph.edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        nsalt_expr = shard_count_expr("out_deg", num_partitions, n_edges)
+        edges = (
+            graph.edges.join(degw, "src")
+            .select(
+                "src", "dst",
+                F.pmod(F.xxhash64("dst"), nsalt_expr).cast("int").alias("salt"),
+            )
+            .repartition(num_partitions, "src", "salt")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        edges.count()
+        nsalt_map = degw.select(F.col("src").alias("id"), nsalt_expr.alias("nsalt"))
+        state0 = vertices.join(nsalt_map, "id", "left").select(
+            "id", F.col("id").alias("comp"), F.lit(True).alias("changed"),
+            F.coalesce("nsalt", F.lit(1)).alias("nsalt"),
+        )
 
-    n_edges = graph.num_edges()
+        # nsalt is plan-dependent; re-derive on checkpoint resume
+        def restore_fn(df: DataFrame) -> DataFrame:
+            return df.drop("nsalt").join(nsalt_map, "id", "left").select(
+                "id", "comp", "changed", F.coalesce("nsalt", F.lit(1)).alias("nsalt")
+            )
+
     # frontier size from the previous superstep's metric (|V| at ss 0)
     last_changed = [n]
 
     def superstep(ss: int, state: DataFrame):
-        frontier = state.filter("changed").select(F.col("id").alias("src"), "comp")
         if state_broadcast or last_changed[0] <= frontier_broadcast_rows:
-            frontier = F.broadcast(frontier)
+            frontier = F.broadcast(
+                state.filter("changed").select(F.col("id").alias("src"), "comp")
+            )
+            joined = edges.join(frontier, "src")
         else:
-            # stream the cached edges against a per-partition hash of
-            # the frontier — avoids SortMergeJoin re-sorting the edge
-            # set every superstep (see pagerank.py shuffle branch)
-            frontier = frontier.hint("shuffle_hash")
-        msgs = (
-            edges.join(frontier, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("cand"))
-        )
+            # explode the frontier over each vertex's shard count and
+            # equi-join on (src, salt) — co-partitioned with the cached
+            # salted edge layout; shuffle_hash streams the edges (no
+            # SortMergeJoin re-sort; see pagerank.py shuffle branch)
+            from okapi_spark.plans.skew import explode_shards
+
+            frontier = explode_shards(
+                state.filter("changed"), "src", "comp"
+            ).hint("shuffle_hash")
+            joined = edges.join(frontier, ["src", "salt"])
+        msgs = joined.groupBy(F.col("dst").alias("id")).agg(F.min("comp").alias("cand"))
+        keep = [state["nsalt"]] if not state_broadcast else []
         new_state = state.join(msgs, "id", "left").select(
             "id",
             F.least("comp", F.coalesce("cand", "comp")).alias("comp"),
             (F.coalesce("cand", "comp") < F.col("comp")).alias("changed"),
+            *keep,
         )
 
         def post(materialized: DataFrame) -> dict:
@@ -115,6 +153,7 @@ def connected_components(
             max_supersteps=max_supersteps,
             halt_fn=lambda ss, m: m["changed"] == 0,
             store=store,
+            restore_fn=restore_fn,
         )
     res.state = res.state.select("id", "comp")
     return res

@@ -72,38 +72,74 @@ def label_propagation(
     if state_broadcast is None:
         state_broadcast = n <= broadcast_threshold
 
+    salted = not state_broadcast
+    restore_fn = None
     if state_broadcast:
         # dst-partitioned scatter layout (see Graph.by_dst): labels are
         # broadcast into the src join; groupBy(dst, lbl) and the argmax
         # groupBy(dst) are both partition-complete ⇒ zero exchanges
         edges = graph.by_dst(num_partitions).select("src", "dst", w_col.alias("weight"))
+        state0 = vertices.select("id", F.col("id").alias("lbl"))
     else:
-        edges = graph.edges.select("src", "dst", w_col.alias("weight"))
+        # SALTED co-partitioned layout, same as pagerank's shuffle
+        # fallback (plans.skew): a power-law hub's edge list in one
+        # task makes the per-superstep join skew-bound; degree-
+        # proportional (src, salt) sharding rebalances it, and only
+        # the ~|V|-row exploded label state shuffles per superstep
+        from okapi_spark.plans.skew import shard_count_expr
 
-    state0 = vertices.select("id", F.col("id").alias("lbl"))
+        n_edges = graph.num_edges()
+        degw = graph.edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        nsalt_expr = shard_count_expr("out_deg", num_partitions, n_edges)
+        edges = (
+            graph.edges.join(degw, "src")
+            .select(
+                "src", "dst", w_col.alias("weight"),
+                F.pmod(F.xxhash64("dst"), nsalt_expr).cast("int").alias("salt"),
+            )
+            .repartition(num_partitions, "src", "salt")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        edges.count()
+        nsalt_map = degw.select(F.col("src").alias("id"), nsalt_expr.alias("nsalt"))
+        state0 = vertices.join(nsalt_map, "id", "left").select(
+            "id", F.col("id").alias("lbl"), F.coalesce("nsalt", F.lit(1)).alias("nsalt")
+        )
+
+        # nsalt is plan-dependent (current parallelism); re-derive on
+        # checkpoint resume instead of trusting the persisted column
+        # (same hazard as pagerank's salted fallback)
+        def restore_fn(df: DataFrame) -> DataFrame:
+            return df.drop("nsalt").join(nsalt_map, "id", "left").select(
+                "id", "lbl", F.coalesce("nsalt", F.lit(1)).alias("nsalt")
+            )
 
     def superstep(ss: int, state: DataFrame):
-        labels = (
-            state.select("id", "lbl")
-            .withColumnRenamed("id", "src")
-            .withColumnRenamed("lbl", "slbl")
-        )
         if state_broadcast:
-            labels = F.broadcast(labels)
+            labels = F.broadcast(
+                state.select(F.col("id").alias("src"), F.col("lbl").alias("slbl"))
+            )
+            joined = edges.join(labels, "src")
         else:
-            # stream cached edges vs per-partition label hash (no SMJ
-            # re-sort of the edge set; see pagerank.py shuffle branch)
-            labels = labels.hint("shuffle_hash")
+            from okapi_spark.plans.skew import explode_shards
+
+            labels = (
+                explode_shards(state, "src", "lbl")
+                .withColumnRenamed("lbl", "slbl")
+                .hint("shuffle_hash")
+            )
+            joined = edges.join(labels, ["src", "salt"])
         hist = (
-            edges.join(labels, "src")
-            .groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
+            joined.groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
             .agg(F.sum("weight").alias("w"))
         )
         best = _argmax_label(hist)
+        keep = [state["nsalt"]] if salted else []
         new_state = state.join(best, "id", "left").select(
             "id",
             F.coalesce("new_lbl", "lbl").alias("lbl"),
             (F.coalesce("new_lbl", "lbl") != F.col("lbl")).alias("changed"),
+            *keep,
         )
 
         def post(materialized: DataFrame) -> dict:
@@ -138,7 +174,8 @@ def label_propagation(
     from contextlib import nullcontext
 
     with no_adaptive(spark) if state_broadcast else nullcontext():
-        res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt, store=store)
+        res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt,
+                             store=store, restore_fn=restore_fn)
     res.state = res.state.select("id", "lbl")
     return res
 

@@ -136,20 +136,15 @@ def pagerank(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     elif salted:
         # SALTED co-partitioned layout (north rule: explicit salted-key
-        # repartitioning for high-degree skew). Hash-partitioning the
-        # cached edges by raw src puts a power-law hub's entire edge
-        # list in ONE task, which makes the per-superstep join
-        # skew-bound and core-count-insensitive (measured: flat
-        # ~14.5s/superstep at both 8 and 32 cores, 240M Zipf edges).
+        # repartitioning for high-degree skew; see
+        # plans.skew.shard_count_expr for the measured rationale).
         # Each src gets nsalt = ceil(out_deg / target) shards with
         # rows spread by hash(dst); the rank state explodes each
         # vertex over ITS OWN nsalt (tail vertices: 1 row), so the
         # exploded state stays ~|V| + a few rows per hub shard.
-        target = max(1024, n_edges // (num_partitions * 8))
-        nsalt_expr = F.greatest(
-            F.lit(1),
-            F.least(F.lit(4 * num_partitions), F.ceil(F.col("out_deg") / F.lit(target))),
-        ).cast("int")
+        from okapi_spark.plans.skew import shard_count_expr
+
+        nsalt_expr = shard_count_expr("out_deg", num_partitions, n_edges)
         shares = (
             shares.select(
                 "src", "dst", "share",
@@ -208,10 +203,9 @@ def pagerank(
             # exploded state shuffles. shuffle_hash builds the hash on
             # that small side and STREAMS the edges (a SortMergeJoin
             # would re-sort the edge set every superstep)
-            ranks = state.select(
-                F.col("id").alias("src"), "rank",
-                F.explode(F.sequence(F.lit(0), F.col("nsalt") - 1)).alias("salt"),
-            ).hint("shuffle_hash")
+            from okapi_spark.plans.skew import explode_shards
+
+            ranks = explode_shards(state, "src", "rank").hint("shuffle_hash")
             msgs = (
                 shares.join(ranks, ["src", "salt"])
                 .select("dst", (F.col("rank") * F.col("share")).alias("m"))

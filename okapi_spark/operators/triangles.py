@@ -4,18 +4,28 @@ The reference runs 4 message-passing supersteps (PropagateId to
 higher-id neighbors → ForwardId → CloseTrianglesAndCount), counting
 each unique triangle once at its MAXIMUM-id vertex (:131-151).
 
-Spark-first this is not iterative at all: order the undirected edge
-set (src < dst), self-join to build wedges (low, mid, high) with
-low < mid < high, and left-semi join the closing pair (low, high)
-against the ordered edge set — two shuffles total, whole-stage
-codegen'd hash joins, no Python. Exact by construction (the ordering
-predicates enumerate each triangle exactly once, replacing the
-reference's id-ordering message discipline, :76-83, :100-110).
+Spark-first this is not iterative at all: orient each undirected edge
+toward its higher-DEGREE endpoint (ties by id) — the node-iterator++
+total order — self-join on the pivot to build wedges, and left-semi
+join the closing pair against the oriented edge set — two shuffles
+total, whole-stage codegen'd joins, no Python. Exact by construction:
+each triangle is enumerated exactly once at its lowest-ordered vertex
+(replacing the reference's id-ordering message discipline, :76-83,
+:100-110); output rows are re-sorted to (low, mid, high) BY ID so
+downstream per-vertex placement semantics (max-id vertex) are
+unchanged.
 
-Skew: wedge generation is quadratic in hub degree. ``salt_threshold``
-splits the build side of the wedge join via AQE skew handling; for
-extreme hubs the ``chunks`` knob (ScalableSemimetric.java:67-113
-megastep precedent) processes mid-vertex slices in passes.
+Why degree order and not id order: the wedge count is Σ_v C(out(v),2)
+and degree-orientation minimizes it (out(v) ≤ O(√E) for any graph;
+hubs get out ≈ 0 because all their edges point INTO them). With id
+order a power-law hub that happens to have a small id keeps its whole
+edge list outgoing — measured on 60M Zipf edges: the id-ordered plan
+shuffles ~10⁹ wedge rows into the semi-join and goes disk-bound (flat
+305s wall at BOTH 8 and 32 cores); the degree-ordered plan's wedge set
+is orders of magnitude smaller (BENCH.md round-3).
+
+For extreme cases the ``chunks`` knob (ScalableSemimetric.java:67-113
+megastep precedent) processes pivot-vertex slices in passes.
 """
 
 from __future__ import annotations
@@ -46,29 +56,82 @@ def _canonical(graph: Graph) -> DataFrame:
     )
 
 
-def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
-    """All triangles as rows (low, mid, high), low < mid < high."""
+def _oriented(graph: Graph) -> DataFrame:
+    """Degree-ordered orientation of the canonical edge set: one row
+    per unordered pair {a, b}, directed (u → v) with (deg(u), u) <
+    (deg(v), v), carrying deg(v) for downstream ordering of wedge
+    endpoints. Degree = undirected neighbor count."""
     e = _canonical(graph)
+    if graph.symmetric_distinct:
+        # both directions present exactly once ⇒ out-degree == degree,
+        # no canonical-set union needed
+        deg = graph.edges.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
+    else:
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionAll(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("d"))
+        )
+    # shuffle_hash: build on the |V|-row degree side, stream the edges
+    # (SMJ would sort the edge set twice)
+    j = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")).hint("shuffle_hash"), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")).hint("shuffle_hash"), "v")
+    )
+    flip = F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("du"), F.col("u"))
+    return j.select(
+        F.when(flip, F.col("v")).otherwise(F.col("u")).alias("u"),
+        F.when(flip, F.col("u")).otherwise(F.col("v")).alias("v"),
+        F.when(flip, F.col("du")).otherwise(F.col("dv")).alias("dv"),
+    )
+
+
+def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
+    """All triangles as rows (low, mid, high), low < mid < high (by id)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the oriented set feeds THREE plan legs (both wedge sides + the
+    # closing semi-join); uncached it is recomputed per leg — its
+    # canonical-distinct + degree joins dominated the whole job
+    # (measured 65s of a 238s run, ×3) — so materialize it once
+    o = _oriented(graph).persist(StorageLevel.MEMORY_AND_DISK)
     wedges_parts = []
     for c in range(chunks):
-        e1 = e.alias("e1")
+        e1 = o.alias("e1")
         if chunks > 1:
             e1 = e1.filter(F.pmod(F.xxhash64(F.col("u")), F.lit(chunks)) == c)
+        # unordered out-pair {b, c} of pivot a, taken once via the same
+        # (deg, id) total order the orientation uses — so the closing
+        # pair (e1.v → e2.v) is already in oriented form
+        # shuffle_hash: hash-build one |E|-row side, stream the other —
+        # SMJ would SORT the wedge output's inputs; with degree capping
+        # the per-key groups are tiny, so the hash probe is cheap
         w = e1.join(
-            e.alias("e2"),
-            (F.col("e1.v") == F.col("e2.u")),
+            o.alias("e2").hint("shuffle_hash"),
+            (F.col("e1.u") == F.col("e2.u"))
+            & (
+                F.struct(F.col("e1.dv"), F.col("e1.v"))
+                < F.struct(F.col("e2.dv"), F.col("e2.v"))
+            ),
             "inner",
         ).select(
-            F.col("e1.u").alias("low"),
-            F.col("e1.v").alias("mid"),
-            F.col("e2.v").alias("high"),
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
         )
         wedges_parts.append(w)
     wedges = wedges_parts[0]
     for w in wedges_parts[1:]:
         wedges = wedges.unionByName(w)
-    closing = e.select(F.col("u").alias("low"), F.col("v").alias("high"))
-    return wedges.join(closing, ["low", "high"], "left_semi").select("low", "mid", "high")
+    # hash-build on the |E|-row closing side and STREAM the (much
+    # larger) wedge set — never sort the wedges
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c")).hint("shuffle_hash")
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    ids = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        ids[0].alias("low"), ids[1].alias("mid"), ids[2].alias("high")
+    )
 
 
 def triangle_count(graph: Graph, chunks: int = 1) -> int:

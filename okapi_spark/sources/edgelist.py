@@ -107,7 +107,11 @@ def read_id_list(spark: SparkSession, path: str) -> DataFrame:
 
 def write_edge_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
     """LongDoubleTextEdgeOutputFormat parity: one ``src dst w`` line per
-    edge."""
+    edge. The same physical line shape as the vertex-centric
+    EdgesWithValuesVertexOutputFormat (io/formats/
+    EdgesWithValuesVertexOutputFormat.java:30-46, configurable
+    ``output.delimiter`` == ``sep``) — edge-table storage makes the
+    two formats one writer."""
     edges.select(
         F.concat_ws(sep, F.col("src"), F.col("dst"), F.col("weight")).alias("value")
     ).write.mode("overwrite").text(path)
@@ -120,6 +124,73 @@ def write_adjacency_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
     adj.select(
         F.concat_ws(sep, F.col("src"), F.concat_ws(sep, F.transform("nbrs", lambda x: x.cast("string")))).alias("value")
     ).write.mode("overwrite").text(path)
+
+
+def write_adjacency_list_with_values(
+    vertex_values: DataFrame, edges: DataFrame, path: str, sep: str = "\t"
+) -> None:
+    """LongDoubleDoubleAdjacencyListTextVertexOutputFormat parity
+    (io/formats/LongDoubleDoubleAdjacencyListTextVertexOutputFormat.java:22
+    over Giraph's AdjacencyListTextVertexOutputFormat): one line per
+    vertex ``id <sep> value <sep> dst1 <sep> w1 <sep> dst2 <sep> w2…``,
+    neighbors sorted by id. ``vertex_values``: (id, value); vertices
+    with no out-edges still write their (id, value) line."""
+    adj = edges.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_list(F.struct("dst", "weight"))).alias("nbrs")
+    )
+    flat = F.flatten(
+        F.transform(
+            "nbrs", lambda s: F.array(s["dst"].cast("string"), s["weight"].cast("string"))
+        )
+    )
+    (
+        vertex_values.join(adj, "id", "left")
+        .select(
+            F.concat_ws(
+                sep,
+                F.col("id").cast("string"),
+                F.col("value").cast("string"),
+                F.coalesce(flat, F.array().cast("array<string>")),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_adjacency_list_with_values(
+    spark: SparkSession, path: str, sep: str = "\t"
+) -> tuple[DataFrame, DataFrame]:
+    """Inverse of :func:`write_adjacency_list_with_values` (the Giraph
+    AdjacencyListTextVertexInputFormat line shape). Returns
+    (vertex_values (id, value), edges (src, dst, weight))."""
+    import re
+
+    parts = F.split("value", re.escape(sep))
+    lines = (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(parts.alias("p"))
+        .persist()
+    )
+    vertex_values = lines.select(
+        F.element_at("p", 1).cast("long").alias("id"),
+        F.element_at("p", 2).cast("double").alias("value"),
+    )
+    # 1-based positions of dst tokens: 3, 5, 7, …
+    idx = F.when(
+        F.size("p") >= 4, F.sequence(F.lit(3), F.size("p") - 1, F.lit(2))
+    ).otherwise(F.array().cast("array<int>"))
+    edges = (
+        lines.select(F.element_at("p", 1).cast("long").alias("src"), "p",
+                     F.explode(idx).alias("i"))
+        .select(
+            "src",
+            F.element_at("p", F.col("i")).cast("long").alias("dst"),
+            F.element_at("p", F.col("i") + 1).cast("double").alias("weight"),
+        )
+    )
+    return vertex_values, edges
 
 
 def write_cf_model(user_factors: DataFrame, item_factors: DataFrame, path: str) -> None:
@@ -162,12 +233,14 @@ def read_cf_model(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
         id_type.getItem(0).cast("long").alias("id"),
         id_type.getItem(1).cast("int").alias("vtype"),
         F.transform(factors, lambda x: F.when(
-            # assert_true returns NULL when the check holds, raises otherwise
+            # try_cast nulls bad segments (ANSI-safe); assert_true then
+            # raises OUR message instead of a bare NumberFormatException
+            # (assert_true returns NULL when the check holds)
             F.assert_true(
-                x.cast("double").isNotNull(),
+                x.try_cast("double").isNotNull(),
                 F.concat(F.lit("read_cf_model: non-numeric factor segment: "), x),
             ).isNull(),
-            x.cast("double"),
+            x.try_cast("double"),
         )).alias("factors"),
     )
     return (

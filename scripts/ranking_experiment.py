@@ -25,6 +25,14 @@ Two data regimes:
   with Popularity marginally above. Kept as the honest null control.
 
 Usage: python scripts/ranking_experiment.py [planted|sf_dir] [vector_size] [iters]
+
+Sweep mode (the OkapiAutotuning hook re-expressed — reference
+cf/annotations/*: HyperParameter ranges consumed by a tuning driver):
+    python scripts/ranking_experiment.py --sweep MODEL "GRID"
+with GRID like "learnRate=0.01,0.05;reg=0.001,0.01" using the
+reference parameterNames from okapi_spark.hyperparams.REGISTRY; each
+grid point trains on the planted split and reports P@5 + MRR.
+    python scripts/ranking_experiment.py --info   # AnnotationsInfo JSON
 """
 
 from __future__ import annotations
@@ -74,7 +82,49 @@ def _planted(spark, n_users: int = 400, n_items: int = 80, per_user: int = 12, s
     )
 
 
+def sweep(model: str, grid_spec: str) -> None:
+    """Grid sweep over a registered model's declared hyperparameter
+    ranges (AnnotationsInfo-driven search-space contract)."""
+    from okapi_spark.hyperparams import grid_points, resolve, validate_grid
+    from okapi_spark.operators.cf import mean_reciprocal_rank, precision_at_k
+    from okapi_spark.session import get_spark
+
+    grid = {}
+    for part in grid_spec.split(";"):
+        pname, vals = part.split("=")
+        grid[pname.strip()] = [float(v) for v in vals.split(",")]
+    kwarg_grid = validate_grid(model, grid)  # range-checked, kwarg-mapped
+    fit = resolve(model)
+
+    spark = get_spark(app_name=f"sweep_{model}")
+    train, test = _planted(spark)
+    train, test = train.persist(), test.persist()
+    print(f"{'params':40s} {'P@5':>8s} {'MRR':>8s} {'train_s':>8s}")
+    best = None
+    for point in grid_points(kwarg_grid):
+        kw = {k: (int(v) if k in ("vector_size", "iterations") else v) for k, v in point.items()}
+        t0 = time.time()
+        uf, itf = fit(train, **kw)
+        uf, itf = uf.persist(), itf.persist()
+        p5 = precision_at_k(uf, itf, test, k=5, num_samples=100, rated=train)
+        mrr = mean_reciprocal_rank(uf, itf, test, num_samples=100, rated=train)
+        print(f"{str(kw):40s} {p5:8.4f} {mrr:8.4f} {time.time() - t0:8.1f}")
+        if best is None or p5 > best[1]:
+            best = (kw, p5)
+        uf.unpersist(), itf.unpersist()
+    print(f"best: {best[0]} P@5={best[1]:.4f}")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--info":
+        from okapi_spark.hyperparams import to_json
+
+        print(to_json(sys.argv[2] if len(sys.argv) > 2 else None))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        sweep(sys.argv[2], sys.argv[3])
+        return
     source = sys.argv[1] if len(sys.argv) > 1 else "planted"
     vector_size = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10

@@ -1,11 +1,16 @@
 """Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
 
 Sandbox proxy per BASELINE.md: identical job + input at local[8] and
-local[32]. Job = PageRank, fixed supersteps, on a deterministic
-synthetic power-law graph big enough that compute dominates scheduling.
+local[32]. Jobs: ``pagerank`` (default; fixed supersteps), ``lpa``
+(label propagation, same superstep protocol), ``triangles`` (one-shot
+wedge-join + closing semi-join — the join-heavy non-iterative shape).
+Graph = deterministic synthetic power-law; triangles uses a sparser
+density (avg degree 10, |V| = |E|/10) because wedge count grows with
+E²/V and the default density is a CSR stress shape, not a triangle one.
 Efficiency = (throughput@32 / throughput@8) / 4.
 
-Writes/updates BENCH.md. Run: python scripts/scaling_bench.py [n_edges]
+Writes/updates BENCH.md.
+Run: python scripts/scaling_bench.py [n_edges] [iters] [plan] [job]
 """
 
 from __future__ import annotations
@@ -21,46 +26,80 @@ sys.path.insert(0, ".")
 from okapi_spark.session import get_spark
 from okapi_spark.sources.synth_graph import generate_edges
 from okapi_spark.graph.graph import Graph
-from okapi_spark.operators.pagerank import pagerank
 
 cores = int(sys.argv[1]); n_edges = int(sys.argv[2]); iters = int(sys.argv[3])
 state_broadcast = {"broadcast": True, "shuffle": False}.get(sys.argv[4] if len(sys.argv) > 4 else "auto")
+job = sys.argv[5] if len(sys.argv) > 5 else "pagerank"
 spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale{cores}")
-e = generate_edges(spark, n_edges, n_vertices=max(1000, n_edges // 5000))
-# cache=False: pagerank caches its own dst-partitioned `shares`; caching
-# the raw edges too doubles resident data and thrashes at large E
-g = Graph.from_edges(e, partitions=max(cores, 32), cache=False)
+n_vertices = n_edges // 10 if job == "triangles" else max(1000, n_edges // 5000)
+e = generate_edges(spark, n_edges, n_vertices=n_vertices)
+if job == "triangles":
+    # production shape: the engine's link graphs come out of
+    # induce_edges symmetric-distinct, which makes canonicalization a
+    # free src<dst filter and degree a plain groupBy — symmetrize the
+    # synthetic edges HERE (setup, untimed) so the timed job measures
+    # the plan the pipeline actually runs, not a worst-case re-dedup
+    import pyspark.sql.functions as _F
+    und = e.select("src", "dst").union(e.select(_F.col("dst").alias("src"), _F.col("src").alias("dst"))).distinct()
+    e = und.select("src", "dst", _F.lit(1.0).alias("weight"))
+    # cache=True: materialized in setup below (num_edges) — the timed
+    # job reads the cached symmetric set, as the pipeline would
+    g = Graph.from_edges(e, partitions=max(cores, 32), cache=True, symmetric_distinct=True)
+else:
+    # cache=False: the iterative operators cache their own partitioned
+    # edge layout; caching raw edges too doubles resident data at large E
+    g = Graph.from_edges(e, partitions=max(cores, 32), cache=False)
 m = g.num_edges()
 spark.sparkContext._jvm.System.gc()  # drain setup garbage before timing
-# single run; per-superstep timing excludes the one-time shares build;
-# the first 3 supersteps (JIT/codegen/GC warm) are dropped from the metric
-t0 = time.time()
-res = pagerank(g, iterations=iters, mode="sql", num_partitions=cores,
-               state_broadcast=state_broadcast)
-res.state.count()
-wall = time.time() - t0
-times = [round(x["superstep_sec"], 2) for x in res.metrics_log]
-measured = times[3:]
-ss_sec = sum(measured)
-import statistics
-med = statistics.median(measured)
-print(json.dumps({"cores": cores, "edges": m, "iters": iters,
-                  "wall_sec": round(wall, 2), "superstep_sec": round(ss_sec, 2),
-                  "per_superstep_sec": times,
-                  "measured_supersteps": len(measured),
-                  "median_superstep_sec": round(med, 3),
-                  "edges_per_sec_per_superstep": round(m * len(measured) / ss_sec, 1),
-                  "edges_per_sec_median": round(m / med, 1)}))
+
+if job == "triangles":
+    from okapi_spark.operators.triangles import triangle_count
+    t0 = time.time()
+    n_tri = triangle_count(g)
+    wall = time.time() - t0
+    out = {"cores": cores, "edges": m, "job": job, "wall_sec": round(wall, 2),
+           "triangles": n_tri,
+           "edges_per_sec_per_superstep": round(m / wall, 1),
+           "edges_per_sec_median": round(m / wall, 1),
+           "superstep_sec": round(wall, 2), "median_superstep_sec": round(wall, 3)}
+else:
+    if job == "lpa":
+        from okapi_spark.operators.lpa import label_propagation
+        t0 = time.time()
+        res = label_propagation(g, iterations=iters, num_partitions=cores,
+                                state_broadcast=state_broadcast)
+    else:
+        from okapi_spark.operators.pagerank import pagerank
+        t0 = time.time()
+        res = pagerank(g, iterations=iters, mode="sql", num_partitions=cores,
+                       state_broadcast=state_broadcast)
+    res.state.count()
+    wall = time.time() - t0
+    times = [round(x["superstep_sec"], 2) for x in res.metrics_log]
+    # per-superstep timing excludes the one-time edge-layout build; the
+    # first 3 supersteps (JIT/codegen/GC warm) are dropped from the metric
+    measured = times[3:]
+    ss_sec = sum(measured)
+    import statistics
+    med = statistics.median(measured)
+    out = {"cores": cores, "edges": m, "iters": iters, "job": job,
+           "wall_sec": round(wall, 2), "superstep_sec": round(ss_sec, 2),
+           "per_superstep_sec": times,
+           "measured_supersteps": len(measured),
+           "median_superstep_sec": round(med, 3),
+           "edges_per_sec_per_superstep": round(m * len(measured) / ss_sec, 1),
+           "edges_per_sec_median": round(m / med, 1)}
+print(json.dumps(out))
 spark.stop()
 """
 
 
-def run(cores: int, n_edges: int, iters: int, plan: str = "auto") -> dict:
+def run(cores: int, n_edges: int, iters: int, plan: str = "auto", job: str = "pagerank") -> dict:
     import os
 
     env = dict(os.environ, OKAPI_DRIVER_MEM="80g")
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan],
+        [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan, job],
         capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -71,13 +110,14 @@ def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000_000
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     # plan: "auto" (broadcast below threshold), "broadcast", or
-    # "shuffle" — the cluster-scale two-shuffle fallback that runs when
+    # "shuffle" — the cluster-scale salted fallback that runs when
     # |V| no longer fits a broadcast; evidencing BOTH plans scale is
     # part of the scale story (the fallback is what executes at 10^10+
     # vertices)
     plan = sys.argv[3] if len(sys.argv) > 3 else "auto"
-    lo = run(8, n_edges, iters, plan)
-    hi = run(32, n_edges, iters, plan)
+    job = sys.argv[4] if len(sys.argv) > 4 else "pagerank"
+    lo = run(8, n_edges, iters, plan, job)
+    hi = run(32, n_edges, iters, plan, job)
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / 4.0
     # median basis: robust to the multi-second G1 full-GC pauses that
     # randomly hit either side and make single-run sum-basis numbers
@@ -88,9 +128,10 @@ def main() -> None:
               "scaling_efficiency_median": round(eff_med, 3),
               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result, indent=2))
+    label = f"{job} x{iters}" if job != "triangles" else "triangles (one-shot)"
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, pagerank x{iters}, plan={plan})\n\n"
+            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, {label}, plan={plan})\n\n"
             f"| parallelism | superstep wall (s) | median ss (s) | edges/sec/superstep (median basis) |\n|---|---|---|---|\n"
             f"| local[8]  | {lo['superstep_sec']} | {lo['median_superstep_sec']} | {lo['edges_per_sec_median']:,} |\n"
             f"| local[32] | {hi['superstep_sec']} | {hi['median_superstep_sec']} | {hi['edges_per_sec_median']:,} |\n\n"

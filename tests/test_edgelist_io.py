@@ -71,3 +71,50 @@ def test_cf_model_round_trip(spark, tmp_path):
     assert {(r.id, tuple(r.factors)) for r in ri.collect()} == {
         (5007, (0.726413, 0.968422)), (304, (0.368630, 0.468095))
     }
+
+
+def test_adjacency_with_values_roundtrip(spark, tmp_path):
+    """write_adjacency_list_with_values ∘ read_adjacency_list_with_values
+    is identity (LongDoubleDoubleAdjacencyListTextVertexOutputFormat
+    line shape), including a vertex with no out-edges."""
+    from okapi_spark.sources.edgelist import (
+        read_adjacency_list_with_values,
+        write_adjacency_list_with_values,
+    )
+
+    vv = spark.createDataFrame(
+        [(1, 0.5), (2, 1.25), (3, -2.0), (9, 7.0)], "id long, value double"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 2.5), (2, 3, 0.75), (3, 1, 4.0)],
+        "src long, dst long, weight double",
+    )
+    path = str(tmp_path / "adjv")
+    write_adjacency_list_with_values(vv, edges, path)
+    rvv, redges = read_adjacency_list_with_values(spark, path)
+    assert sorted(map(tuple, rvv.collect())) == sorted(map(tuple, vv.collect()))
+    assert sorted(map(tuple, redges.collect())) == sorted(map(tuple, edges.collect()))
+
+
+def test_cf_model_reader_accepts_comma_separators(spark, tmp_path):
+    """The reference parser splits factors on '[;,]'
+    (CfModelInputFormat.java:74); a comma-separated model file must
+    parse to the same factors, and non-numeric segments must raise
+    rather than silently yield nulls."""
+    import pytest as _pytest
+
+    from okapi_spark.sources.edgelist import read_cf_model
+
+    p = tmp_path / "model"
+    p.mkdir()
+    (p / "part-0").write_text("7 0\t[0.5; 1.5]\n8 1\t[2.5, 3.5]\n")
+    uf, itf = read_cf_model(spark, str(p))
+    assert [tuple(r) for r in uf.collect()] == [(7, [0.5, 1.5])]
+    assert [tuple(r) for r in itf.collect()] == [(8, [2.5, 3.5])]
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0").write_text("7 0\t[0.5; oops]\n")
+    uf2, _ = read_cf_model(spark, str(bad))
+    with _pytest.raises(Exception, match="non-numeric"):
+        uf2.collect()
