@@ -95,7 +95,12 @@ def connected_components(
             .repartition(num_partitions, "src", "salt")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        edges.count()
+        # AQE off for the one-time cache fill (see lpa.py: Spark 4.1.2
+        # TableCacheQueryStageExec recache race on this plan shape)
+        from okapi_spark.bsp import no_adaptive
+
+        with no_adaptive(graph.edges.sparkSession):
+            edges.count()
         nsalt_map = degw.select(F.col("src").alias("id"), nsalt_expr.alias("nsalt"))
         state0 = vertices.join(nsalt_map, "id", "left").select(
             "id", F.col("id").alias("comp"), F.lit(True).alias("changed"),

@@ -100,7 +100,16 @@ def label_propagation(
             .repartition(num_partitions, "src", "salt")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        edges.count()
+        # AQE off for the one-time cache fill: the explicit
+        # repartition(n) layout leaves AQE nothing to improve, and
+        # Spark 4.1.2's TableCacheQueryStageExec occasionally dies in
+        # CacheManager.recacheByPlan ("SparkPlan.session() is null")
+        # while adaptively materializing a fresh cache — rare
+        # subprocess-fatal race, observed on this exact plan shape
+        from okapi_spark.bsp import no_adaptive
+
+        with no_adaptive(graph.edges.sparkSession):
+            edges.count()
         nsalt_map = degw.select(F.col("src").alias("id"), nsalt_expr.alias("nsalt"))
         state0 = vertices.join(nsalt_map, "id", "left").select(
             "id", F.col("id").alias("lbl"), F.coalesce("nsalt", F.lit(1)).alias("nsalt")

@@ -156,7 +156,12 @@ def pagerank(
         nsalt_map = degw.select(
             F.col("src").alias("id"), nsalt_expr.alias("nsalt")
         )
-    shares.count()  # materialize once
+    # materialize once — AQE off for the cache fill (see lpa.py: Spark
+    # 4.1.2 TableCacheQueryStageExec recache race on this plan shape)
+    from okapi_spark.bsp import no_adaptive
+
+    with no_adaptive(graph.edges.sparkSession):
+        shares.count()
 
     restore_fn = None
     if salted:

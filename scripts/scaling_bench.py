@@ -16,6 +16,7 @@ Run: python scripts/scaling_bench.py [n_edges] [iters] [plan] [job]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -97,13 +98,37 @@ spark.stop()
 def run(cores: int, n_edges: int, iters: int, plan: str = "auto", job: str = "pagerank") -> dict:
     import os
 
-    env = dict(os.environ, OKAPI_DRIVER_MEM="80g")
+    # Right-size the heap to the job: session.py pretouches the whole
+    # heap at startup (-XX:+AlwaysPreTouch — without it, lazy kernel
+    # page-zeroing lands INSIDE the timed run as 50-90% system CPU and
+    # wall times swing 2-4x), so an oversized heap is pure startup
+    # waste. ~32g covers a 60-120M-edge one-shot; iterative jobs at
+    # 240M cached edges want more headroom.
+    mem = os.environ.get(
+        "OKAPI_DRIVER_MEM", "32g" if n_edges <= 120_000_000 else "80g"
+    )
+    env = dict(os.environ, OKAPI_DRIVER_MEM=mem)
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan, job],
         capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        # Spark 4.1.2 occasionally dies in CacheManager.recacheByPlan
+        # (TableCacheQueryStageExec race: "SparkPlan.session() is
+        # null") while materializing the salted edge cache — rare,
+        # nondeterministic, subprocess-fatal. Retry once fresh.
+        sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
+        sys.stderr.write(f"runner failed (cores={cores}, job={job}); retrying once\n")
+        out = subprocess.run(
+            [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan, job],
+            capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"runner produced no result twice (cores={cores}, job={job})")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -116,27 +141,46 @@ def main() -> None:
     # vertices)
     plan = sys.argv[3] if len(sys.argv) > 3 else "auto"
     job = sys.argv[4] if len(sys.argv) > 4 else "pagerank"
-    lo = run(8, n_edges, iters, plan, job)
-    hi = run(32, n_edges, iters, plan, job)
+    # Interleaved repeats with a best-of estimator: this VM shows
+    # hypervisor steal (vmstat st 5-25%) that randomly inflates ~1 in
+    # 3-4 runs 2-4x; min-of-N per side is the steal-robust basis (the
+    # un-stolen run is the machine's actual capability). Disclosed in
+    # the BENCH.md row.
+    repeats = int(os.environ.get("OKAPI_SCALE_REPEATS", "1"))
+    los, his = [], []
+    for _ in range(repeats):
+        los.append(run(8, n_edges, iters, plan, job))
+        his.append(run(32, n_edges, iters, plan, job))
+    lo = min(los, key=lambda r: r["superstep_sec"])
+    hi = min(his, key=lambda r: r["superstep_sec"])
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / 4.0
     # median basis: robust to the multi-second G1 full-GC pauses that
     # randomly hit either side and make single-run sum-basis numbers
     # swing 0.4-2.8 across identical runs
     eff_med = (hi["edges_per_sec_median"] / lo["edges_per_sec_median"]) / 4.0
     result = {"local8": lo, "local32": hi,
+              "all_walls_8": [r["superstep_sec"] for r in los],
+              "all_walls_32": [r["superstep_sec"] for r in his],
               "scaling_efficiency_8_to_32": round(eff, 3),
               "scaling_efficiency_median": round(eff_med, 3),
               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result, indent=2))
     label = f"{job} x{iters}" if job != "triangles" else "triangles (one-shot)"
+    est = f"min-of-{repeats}" if repeats > 1 else "single run"
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, {label}, plan={plan})\n\n"
+            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, {label}, plan={plan}, {est})\n\n"
             f"| parallelism | superstep wall (s) | median ss (s) | edges/sec/superstep (median basis) |\n|---|---|---|---|\n"
             f"| local[8]  | {lo['superstep_sec']} | {lo['median_superstep_sec']} | {lo['edges_per_sec_median']:,} |\n"
             f"| local[32] | {hi['superstep_sec']} | {hi['median_superstep_sec']} | {hi['edges_per_sec_median']:,} |\n\n"
             f"**Scaling efficiency (8→32 cores, ÷4): sum-basis {eff:.3f}, median-basis {eff_med:.3f}** (target ≥ 0.8)\n"
         )
+        if repeats > 1:
+            f.write(
+                f"\nAll superstep walls — local[8]: {result['all_walls_8']}, "
+                f"local[32]: {result['all_walls_32']} (steal outliers visible; "
+                f"min-of-{repeats} is the steal-robust basis)\n"
+            )
 
 
 if __name__ == "__main__":
