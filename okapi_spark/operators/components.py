@@ -97,8 +97,6 @@ def connected_components(
         )
         # AQE off for the one-time cache fill (see lpa.py: Spark 4.1.2
         # TableCacheQueryStageExec recache race on this plan shape)
-        from okapi_spark.bsp import no_adaptive
-
         with no_adaptive(graph.edges.sparkSession):
             edges.count()
         nsalt_map = degw.select(F.col("src").alias("id"), nsalt_expr.alias("nsalt"))

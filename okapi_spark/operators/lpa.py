@@ -106,8 +106,6 @@ def label_propagation(
         # CacheManager.recacheByPlan ("SparkPlan.session() is null")
         # while adaptively materializing a fresh cache — rare
         # subprocess-fatal race, observed on this exact plan shape
-        from okapi_spark.bsp import no_adaptive
-
         with no_adaptive(graph.edges.sparkSession):
             edges.count()
         nsalt_map = degw.select(F.col("src").alias("id"), nsalt_expr.alias("nsalt"))

@@ -158,8 +158,6 @@ def pagerank(
         )
     # materialize once — AQE off for the cache fill (see lpa.py: Spark
     # 4.1.2 TableCacheQueryStageExec recache race on this plan shape)
-    from okapi_spark.bsp import no_adaptive
-
     with no_adaptive(graph.edges.sparkSession):
         shares.count()
 
