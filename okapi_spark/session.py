@@ -18,16 +18,23 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "okapi_spark",
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
+    executor_mem: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession.
 
     cores: local[N] parallelism; defaults to $SPARK_GRAFT_CPUS or '*'.
     shuffle_partitions: defaults to max(cores, 32 if '*').
+    master: explicit master URL override (e.g. ``local-cluster[8,4,12288]``
+        for real per-executor JVMs on one box — the multi-executor scaling
+        evidence mode). When set, ``cores`` only sizes shuffle partitions.
+    executor_mem: per-executor heap for cluster masters (e.g. "12g").
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else None
-    master = f"local[{cores}]" if cores else "local[*]"
+    if master is None:
+        master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 32)
 
@@ -58,6 +65,15 @@ def get_spark(
         # iterative jobs re-run short stages constantly; keep scheduling lean
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
+    if not master.startswith("local["):
+        # Multi-executor master (local-cluster / standalone): executor
+        # JVMs are separate processes — ship the package path to their
+        # python workers and size their heaps explicitly. On a real
+        # cluster this is the --py-files + spark.executor.memory pair.
+        builder = builder.config("spark.executorEnv.PYTHONPATH",
+                                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if executor_mem:
+            builder = builder.config("spark.executor.memory", executor_mem)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

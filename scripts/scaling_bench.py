@@ -31,7 +31,22 @@ from okapi_spark.graph.graph import Graph
 cores = int(sys.argv[1]); n_edges = int(sys.argv[2]); iters = int(sys.argv[3])
 state_broadcast = {"broadcast": True, "shuffle": False}.get(sys.argv[4] if len(sys.argv) > 4 else "auto")
 job = sys.argv[5] if len(sys.argv) > 5 else "pagerank"
-spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale{cores}")
+mode = sys.argv[6] if len(sys.argv) > 6 else "threads"
+if mode == "jvms":
+    # Real per-executor JVMs: N/4 workers x 4 cores, identical
+    # per-executor heap on both sides (scale by adding nodes of the
+    # same shape, as a real cluster does). Each executor runs its own
+    # G1 over its own heap — the single-shared-heap GC coupling that
+    # the threads-mode numbers carry is gone by construction.
+    import os as _os
+    mem_mb = int(_os.environ.get("OKAPI_EXEC_MEM_MB", "12288"))
+    workers = max(1, cores // 4)
+    spark = get_spark(cores=cores, shuffle_partitions=cores,
+                      app_name=f"scale{cores}jvm",
+                      master=f"local-cluster[{workers},4,{mem_mb}]",
+                      executor_mem=f"{mem_mb}m")
+else:
+    spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale{cores}")
 n_vertices = n_edges // 10 if job == "triangles" else max(1000, n_edges // 5000)
 e = generate_edges(spark, n_edges, n_vertices=n_vertices)
 if job == "triangles":
@@ -95,7 +110,8 @@ spark.stop()
 """
 
 
-def run(cores: int, n_edges: int, iters: int, plan: str = "auto", job: str = "pagerank") -> dict:
+def run(cores: int, n_edges: int, iters: int, plan: str = "auto", job: str = "pagerank",
+        mode: str = "threads") -> dict:
     import os
 
     # Right-size the heap to the job: session.py pretouches the whole
@@ -103,14 +119,18 @@ def run(cores: int, n_edges: int, iters: int, plan: str = "auto", job: str = "pa
     # page-zeroing lands INSIDE the timed run as 50-90% system CPU and
     # wall times swing 2-4x), so an oversized heap is pure startup
     # waste. ~32g covers a 60-120M-edge one-shot; iterative jobs at
-    # 240M cached edges want more headroom.
-    mem = os.environ.get(
-        "OKAPI_DRIVER_MEM", "32g" if n_edges <= 120_000_000 else "80g"
-    )
+    # 240M cached edges want more headroom. In jvms mode the data
+    # lives in executor heaps, so the driver stays small.
+    if mode == "jvms":
+        mem = os.environ.get("OKAPI_DRIVER_MEM", "8g")
+    else:
+        mem = os.environ.get(
+            "OKAPI_DRIVER_MEM", "32g" if n_edges <= 120_000_000 else "80g"
+        )
     env = dict(os.environ, OKAPI_DRIVER_MEM=mem)
+    args = [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan, job, mode]
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan, job],
-        capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
+        args, capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
@@ -121,8 +141,7 @@ def run(cores: int, n_edges: int, iters: int, plan: str = "auto", job: str = "pa
         sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
         sys.stderr.write(f"runner failed (cores={cores}, job={job}); retrying once\n")
         out = subprocess.run(
-            [sys.executable, "-c", RUNNER, str(cores), str(n_edges), str(iters), plan, job],
-            capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
+            args, capture_output=True, text=True, cwd="/root/repo", timeout=3600, env=env,
         )
         lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
         if not lines:
@@ -141,6 +160,12 @@ def main() -> None:
     # vertices)
     plan = sys.argv[3] if len(sys.argv) > 3 else "auto"
     job = sys.argv[4] if len(sys.argv) > 4 else "pagerank"
+    # mode "threads": local[8] vs local[32] (one shared JVM heap — the
+    # r1-r3 proxy). mode "jvms": local-cluster[2,4,M] vs
+    # local-cluster[8,4,M] — real executor JVMs with their own G1
+    # heaps, same per-executor shape on both sides; this is the
+    # north-rule N-vs-4N-executors measurement, not a proxy.
+    mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
     # Interleaved repeats with a best-of estimator: this VM shows
     # hypervisor steal (vmstat st 5-25%) that randomly inflates ~1 in
     # 3-4 runs 2-4x; min-of-N per side is the steal-robust basis (the
@@ -149,8 +174,8 @@ def main() -> None:
     repeats = int(os.environ.get("OKAPI_SCALE_REPEATS", "1"))
     los, his = [], []
     for _ in range(repeats):
-        los.append(run(8, n_edges, iters, plan, job))
-        his.append(run(32, n_edges, iters, plan, job))
+        los.append(run(8, n_edges, iters, plan, job, mode))
+        his.append(run(32, n_edges, iters, plan, job, mode))
     lo = min(los, key=lambda r: r["superstep_sec"])
     hi = min(his, key=lambda r: r["superstep_sec"])
     eff = (hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]) / 4.0
@@ -158,7 +183,7 @@ def main() -> None:
     # randomly hit either side and make single-run sum-basis numbers
     # swing 0.4-2.8 across identical runs
     eff_med = (hi["edges_per_sec_median"] / lo["edges_per_sec_median"]) / 4.0
-    result = {"local8": lo, "local32": hi,
+    result = {"mode": mode, "local8": lo, "local32": hi,
               "all_walls_8": [r["superstep_sec"] for r in los],
               "all_walls_32": [r["superstep_sec"] for r in his],
               "scaling_efficiency_8_to_32": round(eff, 3),
@@ -167,12 +192,18 @@ def main() -> None:
     print(json.dumps(result, indent=2))
     label = f"{job} x{iters}" if job != "triangles" else "triangles (one-shot)"
     est = f"min-of-{repeats}" if repeats > 1 else "single run"
+    if mode == "jvms":
+        mem_mb = int(os.environ.get("OKAPI_EXEC_MEM_MB", "12288"))
+        lo_name, hi_name = (f"local-cluster[2,4,{mem_mb}] (2 executor JVMs)",
+                            f"local-cluster[8,4,{mem_mb}] (8 executor JVMs)")
+    else:
+        lo_name, hi_name = "local[8]", "local[32]"
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, {label}, plan={plan}, {est})\n\n"
+            f"\n## Scaling run {result['ts']} (n_edges={n_edges:,}, {label}, plan={plan}, {est}, mode={mode})\n\n"
             f"| parallelism | superstep wall (s) | median ss (s) | edges/sec/superstep (median basis) |\n|---|---|---|---|\n"
-            f"| local[8]  | {lo['superstep_sec']} | {lo['median_superstep_sec']} | {lo['edges_per_sec_median']:,} |\n"
-            f"| local[32] | {hi['superstep_sec']} | {hi['median_superstep_sec']} | {hi['edges_per_sec_median']:,} |\n\n"
+            f"| {lo_name}  | {lo['superstep_sec']} | {lo['median_superstep_sec']} | {lo['edges_per_sec_median']:,} |\n"
+            f"| {hi_name} | {hi['superstep_sec']} | {hi['median_superstep_sec']} | {hi['edges_per_sec_median']:,} |\n\n"
             f"**Scaling efficiency (8→32 cores, ÷4): sum-basis {eff:.3f}, median-basis {eff_med:.3f}** (target ≥ 0.8)\n"
         )
         if repeats > 1:
