@@ -918,13 +918,18 @@ FROM ranked WHERE rn <= 5 GROUP BY usr"""
 # migration protocol, semi-clustering's set-valued state), the oracle
 # is a golden snapshot of the deterministic pinned-seed output at the
 # gate's sf, recorded ONCE by scripts/make_goldens.py into goldens/
-# and rendered here as a VALUES table. This is a regression hash
-# check, not an independent recomputation — its integrity rests on the
-# partitioning-invariance tests (tests/test_golden_invariance.py:
-# identical output at 8 vs 32 shuffle partitions) plus the per-
-# operator reference-golden unit tests cited in each query's
-# docstring. If the snapshot file is absent the entry falls back to
-# the rows-only check (oracle omitted).
+# and rendered here as a VALUES table. Its integrity rests on three
+# legs: (1) the partitioning-invariance tests
+# (tests/test_golden_invariance.py: identical output at 8 vs 32
+# shuffle partitions), (2) the per-operator reference-golden unit
+# tests cited in each query's docstring, and (3) an INDEPENDENT
+# sequential recomputation (tests/ref_impl.py — pure Python/NumPy
+# written from the reference Java semantics, no engine code):
+# tests/test_independent_oracles.py asserts engine ≡ recomputation at
+# this sf, and make_goldens.py refuses to record a snapshot that
+# disagrees with it — so a recorded-in engine bug cannot persist. If
+# the snapshot file is absent the entry falls back to the rows-only
+# check (oracle omitted).
 # ---------------------------------------------------------------------------
 
 _GOLDEN_NAMES = ("svdpp_1", "spinner_8", "semicluster_2")

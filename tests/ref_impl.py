@@ -1,0 +1,470 @@
+"""Independent recomputation oracles for the golden-snapshot trio.
+
+Pure-Python/NumPy sequential reimplementations of the three gate
+operators whose semantics aren't SQL-expressible, written FROM THE
+REFERENCE SEMANTICS (Spinner.java:259-418, Svdpp.java:368-500,
+SemiClustering.java:60-360) plus the engine's *documented* determinism
+conventions (xxhash64-derived uniforms, sorted message orders,
+vertex-tuple tie-breaks — each cited below).  They share NO code with
+`okapi_spark`: state is plain dicts, iteration is per-vertex loops
+shaped like the reference's `compute()` methods, and the only
+"shared" ingredient is the public XXH64 algorithm, reimplemented here
+from its spec and empirically pinned against Spark's built-in in
+tests/test_independent_oracles.py.
+
+Purpose (VERDICT r3 "Next round #2"): the goldens in goldens/ were
+recorded by the engine itself, so on their own they are regression
+pins, not correctness oracles.  These implementations give each golden
+an independent derivation — scripts/make_goldens.py refuses to record
+a snapshot that disagrees with them, and the slow pytest asserts
+engine ≡ this module at the gate's scale factor.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# XXH64 — canonical public algorithm (Collet), as applied by Spark's
+# `xxhash64(...)` expression: fold left over the arguments with running
+# seed, starting at 42; int32 -> 4-byte path, int64 -> 8-byte path,
+# string -> UTF-8 byte path.  Pinned against Spark's builtin by test.
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    seed &= _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v2 = _round(v2, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v3 = _round(v3, int.from_bytes(data[i:i + 8], "little")); i += 8
+            v4 = _round(v4, int.from_bytes(data[i:i + 8], "little")); i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    return _fmix(h)
+
+
+def _hash_long(v: int, seed: int) -> int:
+    return xxh64_bytes((v & _M64).to_bytes(8, "little"), seed)
+
+
+def _hash_int(v: int, seed: int) -> int:
+    return xxh64_bytes((v & 0xFFFFFFFF).to_bytes(4, "little"), seed)
+
+
+def spark_xxhash64(*args) -> int:
+    """Signed-64 result of Spark's xxhash64(args...) (seed 42).
+
+    Python ints tagged by magnitude are ambiguous, so arguments are
+    (value, kind) pairs or bare values with inferred kinds:
+    bare int -> 'int' if it fits int32 else 'long'; str -> utf8 bytes.
+    Pass ('long', v) / ('int', v) tuples to force a width.
+    """
+    h = 42
+    for a in args:
+        if isinstance(a, tuple):
+            kind, v = a
+        elif isinstance(a, str):
+            kind, v = "str", a
+        elif isinstance(a, (int, np.integer)):
+            v = int(a)
+            kind = "int" if -(2 ** 31) <= v < 2 ** 31 else "long"
+        else:
+            raise TypeError(f"unsupported arg {a!r}")
+        if kind == "str":
+            h = xxh64_bytes(v.encode("utf-8"), h)
+        elif kind == "int":
+            h = _hash_int(v, h)
+        else:
+            h = _hash_long(v, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def pmod(h: int, m: int) -> int:
+    """Spark pmod on a signed-long hash: always in [0, m)."""
+    return ((h % m) + m) % m
+
+
+def hash_uniform(*args) -> float:
+    """The engine's documented uniform convention:
+    pmod(xxhash64(args...), 10^9) / 1e9."""
+    return pmod(spark_xxhash64(*args), 10 ** 9) / 1e9
+
+
+# ---------------------------------------------------------------------------
+# shared input builders (pandas; mirrors __spark_entry__'s derivations
+# of the co-purchase graph and ratings from the TPC-H-ish parquet)
+# ---------------------------------------------------------------------------
+
+def weighted_copurchase_edges(sf_dir: str) -> pd.DataFrame:
+    """Symmetric-distinct (src, dst, weight) co-purchase graph: parts
+    sharing an order, weight = number of shared orders (both edge
+    directions present)."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    m = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+    pairs = (
+        m.groupby(["l_partkey_a", "l_partkey_b"]).size().reset_index(name="weight")
+    )
+    fwd = pairs.rename(columns={"l_partkey_a": "src", "l_partkey_b": "dst"})
+    rev = pairs.rename(columns={"l_partkey_a": "dst", "l_partkey_b": "src"})
+    out = pd.concat([fwd, rev], ignore_index=True)
+    out["weight"] = out["weight"].astype(float)
+    return out[["src", "dst", "weight"]]
+
+
+def ratings_table(sf_dir: str) -> pd.DataFrame:
+    """(user, item, rating): customer x part, rating = times ordered."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    r = j.groupby(["o_custkey", "l_partkey"]).size().reset_index(name="rating")
+    r = r.rename(columns={"o_custkey": "user", "l_partkey": "item"})
+    r["rating"] = r["rating"].astype(float)
+    return r[["user", "item", "rating"]]
+
+
+# ---------------------------------------------------------------------------
+# Spinner — Spinner.java:259-418 (computeNewPartition / ComputeMigration)
+# ---------------------------------------------------------------------------
+
+def ref_spinner(
+    edges: pd.DataFrame,
+    k: int = 8,
+    lam: float = 1.0,
+    additional_capacity: float = 0.05,
+    max_iterations: int = 290,
+    threshold: float = 0.001,
+    window: int = 5,
+    seed: int = 42,
+) -> dict[int, int]:
+    """Sequential Spinner over a symmetric-distinct weighted edge list.
+
+    Per-vertex loop over ALL k labels exactly as the reference's
+    computeNewPartition (:259-290): H(v,l) = lam + freq(l)/sumW -
+    lam*ceil3(load(l)/C); ties prefer the current partition, then the
+    smallest label (the engine's documented deterministic stand-in for
+    the reference's random tie-break).  Migration damping
+    remaining/demand per ComputeMigration.preSuperstep (:389-418), with
+    the migration coin = hash_uniform(id, round, seed).  Convergence:
+    |1 - score/max(last `window` scores)| < threshold checked before
+    migrating, only once more than `window` rounds have run
+    (algorithmConverged, :637-655).  Returns {vertex: partition}.
+    """
+    adj: dict[int, list[tuple[int, float]]] = {}
+    deg: dict[int, int] = {}
+    wdeg: dict[int, float] = {}
+    for src, dst, w in edges.itertuples(index=False):
+        src, dst, w = int(src), int(dst), float(w)
+        adj.setdefault(src, []).append((dst, w))
+        deg[src] = deg.get(src, 0) + 1
+        wdeg[src] = wdeg.get(src, 0.0) + w
+    vertices = sorted(adj)
+    total_edges = int(len(edges))
+    capacity = total_edges * (1.0 + additional_capacity) / k
+
+    def ceil3(x: float) -> float:
+        return math.ceil(x * 1000.0) / 1000.0
+
+    part = {v: pmod(spark_xxhash64(("long", v), ("int", seed)), k) for v in vertices}
+    loads = [0.0] * k
+    for v in vertices:
+        loads[part[v]] += deg[v]
+
+    score_window: list[float] = []
+    movers_prev: set[int] | None = None  # None => round 0: everyone active
+
+    for rnd in range(max_iterations):
+        pf = [lam * ceil3(loads[p] / capacity) for p in range(k)]
+        # label histogram of each vertex's neighborhood (the messages)
+        hist: dict[int, dict[int, float]] = {v: {} for v in vertices}
+        for src in vertices:
+            lbl = part[src]
+            for dst, w in adj[src]:
+                h = hist[dst]
+                h[lbl] = h.get(lbl, 0.0) + w
+        if movers_prev is None:
+            active = set(vertices)
+        else:
+            active = set()
+            for src in movers_prev:
+                for dst, _ in adj[src]:
+                    active.add(dst)
+
+        score = 0.0
+        local_sum = 0.0
+        want: dict[int, int] = {}
+        demand = [0.0] * k
+        for v in vertices:
+            cur = part[v]
+            freqs = hist[v]
+            best_h = -float("inf")
+            best_l = -1
+            cur_h = None
+            for l in range(k):
+                h = lam + freqs.get(l, 0.0) / wdeg[v] - pf[l]
+                if l == cur:
+                    cur_h = h
+                if h > best_h:  # strict: first (smallest) label wins ties
+                    best_h, best_l = h, l
+            score += cur_h
+            local_sum += freqs.get(cur, 0.0)
+            tgt = cur
+            if best_h > cur_h and v in active:
+                tgt = best_l
+            want[v] = tgt
+            if tgt != cur:
+                demand[tgt] += deg[v]
+
+        converged = False
+        if len(score_window) >= window and rnd > window:
+            best_prev = max(score_window[-window:])
+            if best_prev != 0 and abs(1.0 - score / best_prev) < threshold:
+                converged = True
+        score_window.append(score)
+        if converged:
+            break
+
+        probs = []
+        for p in range(k):
+            remaining = capacity - loads[p]
+            d = demand[p]
+            probs.append(0.0 if (d == 0 or remaining <= 0) else remaining / d)
+        movers = set()
+        for v in vertices:
+            tgt = want[v]
+            if tgt != part[v] and hash_uniform(("long", v), ("int", rnd), ("int", seed)) < probs[tgt]:
+                loads[part[v]] -= deg[v]
+                loads[tgt] += deg[v]
+                part[v] = tgt
+                movers.add(v)
+        movers_prev = movers
+
+    return part
+
+
+# ---------------------------------------------------------------------------
+# SVD++ — Svdpp.java:368-500, with the engine's documented deviations
+# (error sign, item-sorted user loop, src-sorted item fold, hash init)
+# ---------------------------------------------------------------------------
+
+def ref_svdpp(
+    ratings: pd.DataFrame,
+    vector_size: int = 10,
+    iterations: int = 10,
+    factor_gamma: float = 0.005,
+    factor_lambda: float = 0.01,
+    bias_gamma: float = 0.005,
+    bias_lambda: float = 0.01,
+    min_rating: float = 0.0,
+    max_rating: float = 5.0,
+    seed: int = 42,
+):
+    """Returns (user_state, item_state) dicts id -> (baseline,
+    factors[np], weights[np]).
+
+    User pass (:386-440): two loops over the user's ratings sorted by
+    item id — first updates baseline/factors per rating and accumulates
+    the shared weight step, second recomputes errors with the final
+    user state and emits per-item steps.  Item pass (:475-500): folds
+    the received steps sequentially in originating-user order with
+    decay v <- v + step - gamma*lambda*v.  mu = sum(r)/(2|R|)
+    (reference totalNumEdges counts both directions, :366-367).
+    """
+    def init_state(ids, salt, with_weights):
+        st = {}
+        for i in ids:
+            b = pmod(spark_xxhash64(("long", i), f"{salt}:b", ("int", seed)), 10 ** 9) / 1e9
+            f = np.array([
+                pmod(spark_xxhash64(("long", i), f"{salt}:f{d}", ("int", seed)), 10 ** 9) / 1e9 * 0.01
+                for d in range(vector_size)
+            ])
+            if with_weights:
+                w = np.array([
+                    pmod(spark_xxhash64(("long", i), f"{salt}:w{d}", ("int", seed)), 10 ** 9) / 1e9 * 0.01
+                    for d in range(vector_size)
+                ])
+            else:
+                w = np.zeros(vector_size)
+            st[int(i)] = (b, f, w)
+        return st
+
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, i, r in ratings[["user", "item", "rating"]].itertuples(index=False):
+        by_user.setdefault(int(u), []).append((int(i), float(r)))
+    for u in by_user:
+        by_user[u].sort()  # engine: messages applied in item-id order
+
+    users = init_state(sorted(by_user), "user", with_weights=False)
+    items = init_state(sorted(ratings["item"].unique()), "item", with_weights=True)
+    n_ratings = len(ratings)
+    mu = float(ratings["rating"].sum()) / (2 * n_ratings)
+
+    def clip(x):
+        return min(max(x, min_rating), max_rating)
+
+    for _ in range(iterations):
+        # ---- user superstep: per-user sequential fold ------------------
+        new_users = {}
+        steps: dict[int, list[tuple[int, float, np.ndarray, np.ndarray]]] = {}
+        for u, rated in by_user.items():
+            ub, p, _ = users[u]
+            p = p.copy()
+            n = len(rated)
+            sqrt_n = math.sqrt(n)
+            sum_w = np.zeros(vector_size)
+            for it, _r in rated:
+                sum_w += items[it][2]
+            weight_step = np.zeros(vector_size)
+            for it, r in rated:
+                ib, q, _y = items[it]
+                pred = clip(mu + ub + ib + q @ (p + sum_w / sqrt_n))
+                err = r - pred
+                ub = ub + bias_gamma * (err - bias_lambda * ub)
+                p = p + factor_gamma * (err * q - factor_lambda * p)
+                weight_step += q * err
+            weight_step *= factor_gamma / sqrt_n
+            for it, r in rated:
+                ib, q, _y = items[it]
+                pred = clip(mu + ub + ib + q @ (p + sum_w / sqrt_n))
+                err = r - pred
+                factor_step = factor_gamma * err * (sum_w / sqrt_n + p)
+                steps.setdefault(it, []).append((u, bias_gamma * err, factor_step, weight_step))
+            new_users[u] = (ub, p, np.zeros(vector_size))
+        users = new_users
+
+        # ---- item superstep: decay fold in originating-user order ------
+        cb = bias_gamma * bias_lambda
+        cf = factor_gamma * factor_lambda
+        new_items = {}
+        for it, (ib, q, y) in items.items():
+            if it in steps:
+                q, y = q.copy(), y.copy()
+                for _u, bs, fs, ws in sorted(steps[it], key=lambda s: s[0]):
+                    ib = ib + bs - cb * ib
+                    q = q + fs - cf * q
+                    y = y + ws - cf * y
+            new_items[it] = (ib, q, y)
+        items = new_items
+
+    return users, items
+
+
+# ---------------------------------------------------------------------------
+# Semi-clustering — SemiClustering.java:60-360
+# ---------------------------------------------------------------------------
+
+def ref_semiclustering(
+    edges: pd.DataFrame,
+    iterations: int = 10,
+    max_clusters: int = 2,
+    cluster_capacity: int = 4,
+    score_factor: float = 0.5,
+) -> dict[int, list[tuple]]:
+    """Returns {vertex: [clusters]} with cluster = (vs sorted tuple,
+    inner, boundary, score), sorted best-first.
+
+    Superstep 0 (:104-115): singleton cluster, boundary = weighted
+    degree, score 0, sent to all neighbors; supersteps 1..iterations-1
+    run the union/extend/trim kernel (:122-166).  addVertex join rule
+    (:338-360): edges from the new vertex into the cluster move
+    boundary -> inner, the rest add to boundary; score = (I - f*B) /
+    (n(n-1)/2).  Cluster identity is its vertex set; score ties break
+    by the sorted vertex tuple (the engine's deterministic stand-in
+    for the reference's arbitrary TreeSet tie order, :187-198)."""
+    adj: dict[int, dict[int, float]] = {}
+    for src, dst, w in edges[["src", "dst", "weight"]].itertuples(index=False):
+        adj.setdefault(int(src), {})[int(dst)] = float(w)
+
+    def top(clusters):
+        return sorted(clusters.values(), key=lambda c: (-c[3], c[0]))[:max_clusters]
+
+    # superstep 0
+    value: dict[int, list[tuple]] = {}
+    outbox: dict[int, list[tuple]] = {}
+    for v, nbrs in adj.items():
+        c = ((v,), 0.0, sum(nbrs.values()), 0.0)
+        value[v] = [c]
+        outbox[v] = [c]
+
+    for _ in range(iterations - 1):
+        new_value, new_outbox = {}, {}
+        for me, nbrs in adj.items():
+            received = [c for nb in nbrs if nb in outbox for c in outbox[nb]]
+            if not received:
+                continue  # no messages: vertex keeps its state
+            deg_w = sum(nbrs.values())
+            unioned: dict[tuple, tuple] = {}
+            val: dict[tuple, tuple] = {}
+            for c in received:
+                vs, inner, boundary, score = c
+                key = tuple(sorted(vs))
+                unioned.setdefault(key, c)
+                if me in vs:
+                    val.setdefault(key, c)
+                elif len(vs) < cluster_capacity:
+                    w_in = sum(nbrs.get(v, 0.0) for v in vs)
+                    n_inner = inner + w_in
+                    n_boundary = boundary - w_in + (deg_w - w_in)
+                    n = len(vs) + 1
+                    n_score = (n_inner - score_factor * n_boundary) / (n * (n - 1) / 2)
+                    nc = (tuple(sorted(list(vs) + [me])), n_inner, n_boundary, n_score)
+                    unioned.setdefault(nc[0], nc)
+                    val.setdefault(nc[0], nc)
+            new_value[me] = top(val)
+            new_outbox[me] = top(unioned)
+        for me in new_value:
+            value[me] = new_value[me]
+            outbox[me] = new_outbox[me]
+
+    return value
