@@ -101,13 +101,16 @@ def main() -> None:
     ]
 
     queries: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
     best_aux: dict = {}
     for name, fn in suite:
         best = None
+        walls[name] = []
         for r in range(runs):
             t0 = time.time()
             fn()
             dt = time.time() - t0
+            walls[name].append(round(dt, 3))
             if best is None or dt < best:
                 best = dt
                 if name == "pagerank_10_sql":
@@ -135,6 +138,10 @@ def main() -> None:
                 "cpus": cpus,
                 "runs_per_query": runs,
                 "estimator": "min",
+                # all walls per query: hypervisor-steal outliers are
+                # visible at a glance, so a +10% min-of-N swing is
+                # attributable to box noise vs a real regression
+                "query_walls": walls,
                 "n_edges": n_edges,
                 "n_vertices": state["n_vertices"],
                 "n_triangles": state["n_tri"],

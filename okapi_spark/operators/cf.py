@@ -155,12 +155,44 @@ def sgd(
     max_rating: float = 5.0,
     rmse_target: float = -1.0,
     seed: int = 42,
+    max_buffer: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Batch-synchronous SGD with the reference's update rule; message
-    order fixed to ascending counterpart id for determinism."""
+    order fixed to ascending counterpart id for determinism.
+
+    ``max_buffer`` bounds the per-group sequential fold on BOTH sides
+    (a power user is one pandas group on the user pass, a power item
+    one group on the item pass — uncapped, a 10^6-rating hub
+    serializes one slow Python loop; CLiMF/TFMAP cap precedent,
+    AbstractCFRankingComputation.getBufferSize). The cap cascades —
+    first each user's set, then each item's — producing ONE bounded
+    training set both passes fold over; kept rows are chosen by
+    deterministic hash order (xxhash64(group, counterpart, seed),
+    counterpart), a stable sample. RMSE is still measured over the
+    FULL rating set."""
     ratings = ratings.select(
         F.col("user").cast("long"), F.col("item").cast("long"), F.col("rating").cast("double")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _cap(df: DataFrame, group: str, other: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group).orderBy(
+            F.xxhash64(group, other, F.lit(seed)), F.col(other)
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_buffer)
+            .drop("rn")
+        )
+
+    if max_buffer is not None:
+        train = _cap(_cap(ratings, "user", "item"), "item", "user").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        train = ratings
+    by_user = by_item = train
     users = ratings.select(F.col("user").alias("id")).distinct()
     items = ratings.select(F.col("item").alias("id")).distinct()
     uf = _init_factors(users, "id", vector_size, seed, "user")
@@ -184,14 +216,14 @@ def sgd(
     for _ in range(iterations):
         # user side updates from item factors
         j = (
-            ratings.join(itf.withColumnRenamed("id", "item").withColumnRenamed("factors", "cf"), "item")
+            by_user.join(itf.withColumnRenamed("id", "item").withColumnRenamed("factors", "cf"), "item")
             .join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "own"), "user")
             .select(F.col("user").alias("gid"), F.col("item").alias("oid"), "rating", "cf", "own")
         )
         uf = j.groupBy("gid").applyInPandas(make_update("user", "item"), "id long, factors array<double>").localCheckpoint(eager=True)
         # item side updates from (new) user factors
         j = (
-            ratings.join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "cf"), "user")
+            by_item.join(uf.withColumnRenamed("id", "user").withColumnRenamed("factors", "cf"), "user")
             .join(itf.withColumnRenamed("id", "item").withColumnRenamed("factors", "own"), "item")
             .select(F.col("item").alias("gid"), F.col("user").alias("oid"), "rating", "cf", "own")
         )

@@ -31,6 +31,7 @@ from pyspark.storagelevel import StorageLevel
 
 from okapi_spark.bsp import BSPResult, CheckpointStore, no_adaptive, run_supersteps
 from okapi_spark.graph.graph import Graph
+from okapi_spark.plans.broadcast import auto_state_broadcast
 
 # below this many frontier rows, hint a broadcast join into the scatter
 BROADCAST_FRONTIER_ROWS = 2_000_000
@@ -42,7 +43,7 @@ def connected_components(
     store: CheckpointStore | None = None,
     num_partitions: int | None = None,
     state_broadcast: bool | None = None,
-    broadcast_threshold: int = 20_000_000,
+    broadcast_threshold: int | None = None,
     frontier_broadcast_rows: int | None = None,
 ) -> BSPResult:
     """Returns BSPResult state (id long, comp long).
@@ -61,7 +62,9 @@ def connected_components(
     vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
     if state_broadcast is None:
-        state_broadcast = n <= broadcast_threshold
+        # byte-based gate (kcore.py precedent; VERDICT r3 #4): (id, comp)
+        # state ~32B/row incl. broadcast-relation overhead vs 256MB budget
+        state_broadcast = auto_state_broadcast(n, row_bytes=32, rows_override=broadcast_threshold)
     if frontier_broadcast_rows is None:
         frontier_broadcast_rows = BROADCAST_FRONTIER_ROWS
 

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from okapi_spark.bsp import BSPResult, CheckpointStore, no_adaptive, run_supersteps
+from okapi_spark.plans.broadcast import auto_state_broadcast
 from okapi_spark.graph.graph import Graph
 
 # worker-global CSR cache: (mode, epoch, pid) -> packed arrays; reused
@@ -76,7 +77,7 @@ def pagerank(
     num_partitions: int | None = None,
     iterations: int | None = None,
     state_broadcast: bool | None = None,
-    broadcast_threshold: int = 20_000_000,
+    broadcast_threshold: int | None = None,
 ) -> BSPResult:
     """Returns BSPResult whose state is (id long, rank double).
 
@@ -104,14 +105,16 @@ def pagerank(
         "src", "dst", share_expr.alias("share"), "out_deg"
     )
 
-    if mode in ("csr", "csr_cogroup") and n > broadcast_threshold:
+    if mode in ("csr", "csr_cogroup") and not auto_state_broadcast(
+        n, row_bytes=32, rows_override=broadcast_threshold
+    ):
         # both csr modes move the full |V|-row rank state through the
         # driver every superstep (toPandas + sc.broadcast) — beyond the
         # broadcast threshold that is a guaranteed driver OOM, so the
         # guard is shared with the sql-mode state_broadcast switch.
         raise ValueError(
             f"mode={mode!r} broadcasts the full rank state each superstep; "
-            f"|V|={n} exceeds broadcast_threshold={broadcast_threshold}. "
+            f"|V|={n} exceeds the broadcast budget (threshold={broadcast_threshold}). "
             "Use mode='sql' (auto-selects the shuffle plan at this scale)."
         )
     if mode == "csr":
@@ -125,7 +128,8 @@ def pagerank(
         )
         shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
     elif state_broadcast is None:
-        state_broadcast = n <= broadcast_threshold
+        # byte-based gate (VERDICT r3 #4): (id, rank) state ~32B/row
+        state_broadcast = auto_state_broadcast(n, row_bytes=32, rows_override=broadcast_threshold)
     n_edges = graph.num_edges()
     salted = mode == "sql" and not state_broadcast
     if mode == "sql" and state_broadcast:

@@ -80,12 +80,36 @@ def svdpp(
     max_rating: float = 5.0,
     rmse_target: float = -1.0,
     seed: int = 42,
+    max_buffer: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """ratings: (user, item, rating). Returns (user_state, item_state,
-    rmse_log); states are (id, baseline, factors, weights)."""
+    rmse_log); states are (id, baseline, factors, weights).
+
+    ``max_buffer`` bounds each user's rating set (the per-user
+    sequential fold is one pandas group, one task: a 10^6-rating power
+    user would otherwise serialize one slow Python loop and dominate
+    the superstep — the CLiMF/TFMAP cap's precedent,
+    AbstractCFRankingComputation.getBufferSize). Ratings are kept in
+    deterministic hash order (xxhash64(user, item, seed), item), so
+    the truncation is a stable sample; N(u), sqrt|N| and Σy_j then
+    refer to the capped set — a documented approximation that only
+    engages above the cap. Applied once up front (the set is static
+    across iterations)."""
     ratings = ratings.select(
         F.col("user").cast("long"), F.col("item").cast("long"), F.col("rating").cast("double")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if max_buffer is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user").orderBy(
+            F.xxhash64("user", "item", F.lit(seed)), F.col("item")
+        )
+        ratings = (
+            ratings.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_buffer)
+            .drop("rn")
+        )
+    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     n_ratings = ratings.count()
     rating_sum = ratings.agg(F.sum("rating")).collect()[0][0]
     # reference quirk: totalNumEdges counts both directions → μ = Σr/(2|R|)

@@ -88,7 +88,20 @@ def _oriented(graph: Graph) -> DataFrame:
 
 
 def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
-    """All triangles as rows (low, mid, high), low < mid < high (by id)."""
+    """All triangles as rows (low, mid, high), low < mid < high (by id).
+
+    The oriented edge set backing the returned plan stays cached for
+    the session (it feeds every downstream action on the plan);
+    consume-once callers should prefer the count wrappers below, which
+    release it after their action."""
+    tri, _o = _triangles_plan(graph, chunks)
+    return tri
+
+
+def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, DataFrame]:
+    """(triangles, oriented_handle) — the handle is the persisted
+    oriented edge set; callers that fully consume the triangle plan in
+    one action must unpersist it afterwards."""
     from pyspark.storagelevel import StorageLevel
 
     # the oriented set feeds THREE plan legs (both wedge sides + the
@@ -129,35 +142,48 @@ def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
     closing = o.select(F.col("u").alias("b"), F.col("v").alias("c")).hint("shuffle_hash")
     tri = wedges.join(closing, ["b", "c"], "left_semi")
     ids = F.array_sort(F.array("a", "b", "c"))
-    return tri.select(
+    tri = tri.select(
         ids[0].alias("low"), ids[1].alias("mid"), ids[2].alias("high")
     )
+    return tri, o
 
 
 def triangle_count(graph: Graph, chunks: int = 1) -> int:
     """Total unique triangles."""
-    return triangles_df(graph, chunks).count()
+    tri, o = _triangles_plan(graph, chunks)
+    try:
+        return tri.count()
+    finally:
+        o.unpersist()
 
 
 def triangle_count_per_vertex(graph: Graph, chunks: int = 1) -> DataFrame:
     """(id, triangles) — count placed at the max-id vertex of each
     triangle, matching TriangleCount output (Triangles.java:131-151;
-    null-valued vertices dropped per TriangleOutputFormat :323-370)."""
-    return (
-        triangles_df(graph, chunks)
-        .groupBy(F.col("high").alias("id"))
+    null-valued vertices dropped per TriangleOutputFormat :323-370).
+    The aggregate is materialized (localCheckpoint) so the oriented
+    edge cache can be released before returning."""
+    tri, o = _triangles_plan(graph, chunks)
+    out = (
+        tri.groupBy(F.col("high").alias("id"))
         .agg(F.count("*").alias("triangles"))
+        .localCheckpoint(eager=True)
     )
+    o.unpersist()
+    return out
 
 
 def triangles_per_vertex_all(graph: Graph) -> DataFrame:
     """(id, triangles) counting each triangle at ALL three corners —
     the building block for clustering coefficient
-    (graphs/ClusteringCoefficient.java:89-192)."""
-    t = triangles_df(graph)
+    (graphs/ClusteringCoefficient.java:89-192). Materialized, so the
+    oriented edge cache is released before returning."""
+    t, o = _triangles_plan(graph)
     stacked = (
         t.select(F.col("low").alias("id"))
         .unionAll(t.select(F.col("mid").alias("id")))
         .unionAll(t.select(F.col("high").alias("id")))
     )
-    return stacked.groupBy("id").agg(F.count("*").alias("triangles"))
+    out = stacked.groupBy("id").agg(F.count("*").alias("triangles")).localCheckpoint(eager=True)
+    o.unpersist()
+    return out

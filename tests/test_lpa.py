@@ -207,3 +207,29 @@ def test_lpa_equal_changed_counts_do_not_halt_early(spark):
     s_prev2 = {(r.id, r.lbl) for r in
                label_propagation(g, iterations=res.supersteps - 2).state.collect()}
     assert s_final == s_prev2
+
+
+def test_lpa_oscillation_resume_rehydrates_seen(spark, tmp_path):
+    """ADVICE r3: a resumed oscillating run must halt at the SAME
+    superstep as the uninterrupted one — the oscillation ledger is
+    reseeded from the checkpoint lineage's state_hash metrics, so the
+    repeat is detected without replaying a full extra cycle."""
+    from okapi_spark.bsp import CheckpointStore
+
+    edges = [(a, b, 1.0) for a in (1, 2, 3) for b in (4, 5, 6)]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    ref = label_propagation(g, max_supersteps=30)
+    assert ref.converged and ref.metrics_log[-1]["changed"] > 0
+
+    store = CheckpointStore(str(tmp_path / "osc"))
+    # run 1: stop one superstep BEFORE the uninterrupted halt point by
+    # capping the budget, simulating a crash mid-oscillation
+    label_propagation(g, max_supersteps=ref.supersteps - 1, store=store)
+    # run 2: resume with full budget; with the rehydrated ledger it
+    # must halt exactly where the uninterrupted run did
+    res = label_propagation(g, max_supersteps=30, store=store)
+    assert res.converged
+    assert res.supersteps == ref.supersteps
+    a = sorted(tuple(r) for r in ref.state.collect())
+    b = sorted(tuple(r) for r in res.state.collect())
+    assert a == b
