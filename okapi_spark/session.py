@@ -30,6 +30,16 @@ def get_spark(
         evidence mode). When set, ``cores`` only sizes shuffle partitions.
     executor_mem: per-executor heap for cluster masters (e.g. "12g").
     """
+    # Python workers unpickle module-referenced UDF closures by
+    # importing okapi_spark; when the driver was launched from outside
+    # the repo (sys.path-injected), the forked workers don't inherit
+    # sys.path — export the package root on PYTHONPATH before any
+    # worker forks (the local-mode analogue of --py-files).
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_pkg_root}{os.pathsep}{_pp}" if _pp else _pkg_root
+
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else None

@@ -69,12 +69,29 @@ m = g.num_edges()
 spark.sparkContext._jvm.System.gc()  # drain setup garbage before timing
 
 if job == "triangles":
-    from okapi_spark.operators.triangles import triangle_count
-    t0 = time.time()
+    from okapi_spark.operators.triangles import triangle_count, _triangles_plan
+    # Warm-up pass (untimed): the iterative jobs drop their first 3
+    # supersteps because a fresh JVM pays whole-stage-codegen C2
+    # compilation + allocator warm-up inside them; the one-shot
+    # triangle job has no supersteps to drop, so run the identical job
+    # once untimed first. On a long-lived cluster (the north rule's
+    # deployment) the JIT'd code cache is already hot.
     n_tri = triangle_count(g)
-    wall = time.time() - t0
+    walls, phase_logs = [], []
+    for _rep in range(2):
+        t0 = time.time()
+        tri, o = _triangles_plan(g)
+        o.count()  # phase 1: canonicalize + degree joins + orient + persist
+        t1 = time.time()
+        n_tri = tri.count()  # phase 2: wedge join + closing semi-join
+        t2 = time.time()
+        o.unpersist()
+        walls.append(t2 - t0)
+        phase_logs.append({"orient_sec": round(t1 - t0, 2), "join_sec": round(t2 - t1, 2)})
+    wall = min(walls)
     out = {"cores": cores, "edges": m, "job": job, "wall_sec": round(wall, 2),
-           "triangles": n_tri,
+           "triangles": n_tri, "warm_walls": [round(w, 2) for w in walls],
+           "phases": phase_logs,
            "edges_per_sec_per_superstep": round(m / wall, 1),
            "edges_per_sec_median": round(m / wall, 1),
            "superstep_sec": round(wall, 2), "median_superstep_sec": round(wall, 3)}
@@ -211,6 +228,13 @@ def main() -> None:
                 f"\nAll superstep walls — local[8]: {result['all_walls_8']}, "
                 f"local[32]: {result['all_walls_32']} (steal outliers visible; "
                 f"min-of-{repeats} is the steal-robust basis)\n"
+            )
+        if "phases" in lo:
+            f.write(
+                f"\nWarm-JVM protocol (one untimed warm-up job, then timed min-of-2 in-process). "
+                f"Phase decomposition (orient/persist vs wedge+closing joins) — "
+                f"low side: {lo['phases']}, high side: {hi['phases']}; "
+                f"warm walls low {lo['warm_walls']}, high {hi['warm_walls']}\n"
             )
 
 

@@ -114,6 +114,8 @@ def spark_xxhash64(*args) -> int:
     for a in args:
         if isinstance(a, tuple):
             kind, v = a
+            if kind != "str":
+                v = int(v)  # numpy ints reject the 64-bit mask
         elif isinstance(a, str):
             kind, v = "str", a
         elif isinstance(a, (int, np.integer)):
