@@ -385,6 +385,93 @@ def _q_semicluster(spark, sf_dir):
     )
 
 
+def _q_jaccard_minhash(spark, sf_dir):
+    # Approximate per-edge Jaccard via MinHash (the engine's documented
+    # stand-in for the reference's Bloom-filter approximation,
+    # Jaccard.java:212-243; similarity.py jaccard_approx docstring).
+    # Hash-derived sketch → not SQL-expressible in DuckDB → pinned-seed
+    # golden snapshot oracle, independently recomputed by
+    # ref_impl.ref_jaccard_minhash (make_goldens refuses a mismatch).
+    # Output = per-vertex aggregate (incident-edge count, Σ 16·sim):
+    # sims are k/16 so the sums are exact integers — an
+    # order-insensitive, full-coverage checksum of every edge's sim.
+    from okapi_spark.operators.similarity import jaccard_approx
+
+    g = _graph(spark, sf_dir)
+    sims = jaccard_approx(g, num_hashes=16)
+    both = sims.select(F.col("u").alias("id"), "sim").unionByName(
+        sims.select(F.col("v").alias("id"), "sim")
+    )
+    return both.groupBy("id").agg(
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("sim") * F.lit(16.0)).cast("long")).alias("sum_sim16"),
+    )
+
+
+def _q_random_rank(spark, sf_dir):
+    # RandomRankingComputation.java:51-62 — the evaluation floor; the
+    # engine's deterministic hash-uniform stand-in for the unseeded
+    # worker-side RNG.  xxhash64-derived → golden snapshot oracle,
+    # independently recomputed by ref_impl.ref_random_ranking.
+    from okapi_spark.operators.ranking import random_ranking
+
+    _, itf = random_ranking(_ratings(spark, sf_dir), vector_size=4)
+    return itf.select(
+        "id", *[F.element_at("factors", i + 1).alias(f"f{i}") for i in range(4)]
+    )
+
+
+def _rank_item_out(itf):
+    """(id, f0, f1) rounded 6dp — the shared gate projection for the
+    2-D factor-model golden entries."""
+    return itf.select(
+        "id",
+        F.round(F.element_at("factors", 1), 6).alias("f0"),
+        F.round(F.element_at("factors", 2), 6).alias("f1"),
+    )
+
+
+def _q_sgd(spark, sf_dir):
+    # SGD MF (cf/sgd/Sgd.java:162-192) — per-vertex sequential fold in
+    # deterministic counterpart-id order: not SQL-expressible → golden
+    # snapshot oracle + independent recomputation (ref_impl.ref_sgd);
+    # update-rule values additionally pytest-pinned (tests/test_cf.py).
+    from okapi_spark.operators.cf import sgd
+
+    _, itf, _ = sgd(_ratings(spark, sf_dir), vector_size=2, iterations=2)
+    return _rank_item_out(itf)
+
+
+def _q_bpr(spark, sf_dir):
+    # BPR (cf/ranking/BPRRankingComputation.java:25-60) — hash-drawn
+    # negatives + batch-accumulated AUC gradient: golden snapshot
+    # oracle + independent recomputation (ref_impl.ref_bpr).
+    from okapi_spark.operators.ranking import bpr_ranking
+
+    _, itf = bpr_ranking(_ratings(spark, sf_dir), vector_size=2, iterations=2)
+    return _rank_item_out(itf)
+
+
+def _q_climf(spark, sf_dir):
+    # CLiMF (ClimfRankingComputation.java:59-133; paper gradient per
+    # the documented intended-math fixes) — golden snapshot oracle +
+    # independent recomputation (ref_impl.ref_climf).
+    from okapi_spark.operators.ranking import climf_ranking
+
+    _, itf = climf_ranking(_ratings(spark, sf_dir), vector_size=2, iterations=2)
+    return _rank_item_out(itf)
+
+
+def _q_tfmap(spark, sf_dir):
+    # TFMAP (TFMAPRankingComputation.java:43-148) — relevant + sampled
+    # irrelevant buffer, smoothed-MAP gradient — golden snapshot oracle
+    # + independent recomputation (ref_impl.ref_tfmap).
+    from okapi_spark.operators.ranking import tfmap_ranking
+
+    _, itf = tfmap_ranking(_ratings(spark, sf_dir), vector_size=2, iterations=2)
+    return _rank_item_out(itf)
+
+
 def _q_lang_id(spark, sf_dir):
     from okapi_spark.functions.text import lang_id
 
@@ -451,6 +538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precision_at_5_pop": _q_precision_at_5,  # oracle: exhaustive-pool SQL
         "svdpp_1": _q_svdpp,  # oracle: pinned-seed golden snapshot
         "semicluster_2": _q_semicluster,  # oracle: pinned-seed golden snapshot
+        # round-5 additions — the previously pytest-only operators, all
+        # golden-snapshot oracles backed by ref_impl recomputations
+        "jaccard_minhash": _q_jaccard_minhash,
+        "random_rank": _q_random_rank,
+        "sgd_2": _q_sgd,
+        "bpr_2": _q_bpr,
+        "climf_2": _q_climf,
+        "tfmap_2": _q_tfmap,
     }
 
 
@@ -932,7 +1027,11 @@ FROM ranked WHERE rn <= 5 GROUP BY usr"""
 # check (oracle omitted).
 # ---------------------------------------------------------------------------
 
-_GOLDEN_NAMES = ("svdpp_1", "spinner_8", "semicluster_2")
+_GOLDEN_NAMES = (
+    "svdpp_1", "spinner_8", "semicluster_2",
+    # round 5: the formerly pytest-only operators
+    "jaccard_minhash", "random_rank", "sgd_2", "bpr_2", "climf_2", "tfmap_2",
+)
 
 
 def _load_goldens() -> dict:

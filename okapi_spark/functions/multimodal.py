@@ -61,6 +61,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     (JPEG/PNG/...) need PIL/libjpeg on the cluster image and raise the
     documented stub error here."""
     if payload is not None and payload[:4] == _IMG_MAGIC:
+        if len(payload) < 10:  # magic(4) + <BHHB header(6)
+            raise ValueError(f"OKPX header truncated: {len(payload)} bytes")
         ver, w, h, c = struct.unpack_from("<BHHB", payload, 4)
         if ver != 1:
             raise ValueError(f"OKPX version {ver} not supported")
@@ -78,12 +80,15 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
     """bytes -> (sample_rate, int16 mono samples) for the OKPA
     container; compressed audio (mp3/ogg/...) raises the codec stub."""
     if payload is not None and payload[:4] == _AUD_MAGIC:
+        if len(payload) < 13:  # magic(4) + <BII header(9)
+            raise ValueError(f"OKPA header truncated: {len(payload)} bytes")
         ver, rate, n = struct.unpack_from("<BII", payload, 4)
         if ver != 1:
             raise ValueError(f"OKPA version {ver} not supported")
+        body_bytes = len(payload) - 13
+        if body_bytes % 2 or body_bytes != 2 * n:
+            raise ValueError(f"OKPA payload truncated: {body_bytes} body bytes != 2*{n}")
         samples = np.frombuffer(payload, dtype="<i2", offset=13)
-        if samples.size != n:
-            raise ValueError(f"OKPA payload truncated: {samples.size} != {n}")
         return rate, samples
     raise NotImplementedError(
         "compressed audio decode requires ffmpeg/libsndfile on the cluster image"
@@ -183,13 +188,16 @@ def _audio_feature(rate: int, samples: np.ndarray, feature_dim: int) -> np.ndarr
 
 
 def _hash_feature(sha: str, feature_dim: int) -> np.ndarray:
-    return (
-        np.frombuffer(
-            hashlib.sha256((sha + "#feat").encode()).digest()[: 4 * feature_dim],
-            dtype=np.uint8,
-        ).astype(np.float32)[:feature_dim]
-        / 255.0
-    )
+    """Deterministic fallback vector of EXACTLY feature_dim floats —
+    one sha256 digest yields 32 bytes, so larger dims re-hash with a
+    block counter (keeps the feature column rectangular alongside the
+    decoded rows, which always pad to feature_dim)."""
+    buf = b""
+    block = 0
+    while len(buf) < feature_dim:
+        buf += hashlib.sha256(f"{sha}#feat{block}".encode()).digest()
+        block += 1
+    return np.frombuffer(buf[:feature_dim], dtype=np.uint8).astype(np.float32) / 255.0
 
 
 def extract_features(
@@ -214,11 +222,17 @@ def extract_features(
                 for p in payloads:
                     p = bytes(p) if p is not None else b""
                     shas.append(hashlib.sha256(p).hexdigest())
-                    if p[:4] == _IMG_MAGIC:
-                        feats.append(_image_feature(decode_image(p), feature_dim))
-                    elif p[:4] == _AUD_MAGIC:
-                        feats.append(_audio_feature(*decode_audio(p), feature_dim))
-                    else:
+                    try:
+                        if p[:4] == _IMG_MAGIC:
+                            feats.append(_image_feature(decode_image(p), feature_dim))
+                        elif p[:4] == _AUD_MAGIC:
+                            feats.append(_audio_feature(*decode_audio(p), feature_dim))
+                        else:
+                            feats.append(_hash_feature(shas[-1], feature_dim))
+                    except (ValueError, struct.error, NotImplementedError):
+                        # totality: an adversarial/truncated payload that
+                        # merely carries the magic prefix must not fail
+                        # the task — fall back like any undecodable blob
                         feats.append(_hash_feature(shas[-1], feature_dim))
                 yield pd.DataFrame(
                     {

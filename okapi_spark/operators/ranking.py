@@ -93,8 +93,17 @@ def _item_index(items: DataFrame) -> tuple[DataFrame, int]:
     """(idx long, item long) with contiguous idx ∈ [0, n) built
     DISTRIBUTED via zipWithIndex — the sampling lookup table. Replaces
     the driver-side collect + per-row literal array (the anti-scale
-    pattern): sampling becomes pmod(hash) → equi-join on idx."""
-    rdd = items.select("id").rdd.map(lambda r: r[0]).zipWithIndex()
+    pattern): sampling becomes pmod(hash) → equi-join on idx.
+
+    The ``orderBy`` is load-bearing: zipWithIndex numbers rows by
+    (partition, offset), so without a global sort the idx→item map —
+    and with it every hash-drawn negative — would depend on the
+    physical layout of ``distinct()``'s output. Sorted, idx is the
+    rank of the item id: a pure function of the input (the
+    partitioning-invariance contract of the golden-snapshot oracles).
+    The sort is one distributed range exchange of an (id)-only table,
+    paid once per training run."""
+    rdd = items.select("id").orderBy("id").rdd.map(lambda r: r[0]).zipWithIndex()
     spark = items.sparkSession
     idx = spark.createDataFrame(rdd.map(lambda t: (t[1], t[0])), "idx long, item long")
     idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
@@ -148,7 +157,12 @@ def _apply_deltas(state: DataFrame, deltas: DataFrame, kind: str) -> DataFrame:
     agg = (
         deltas.filter(F.col("kind") == kind)
         .select("id", F.posexplode("delta").alias("pos", "dv"))
-        .groupBy("id", "pos").agg(F.sum("dv").alias("d"))
+        # decimal sum: exact, order-insensitive addition (adamic_adar
+        # precedent) so accumulated factors are bit-identical under any
+        # partitioning — required by the golden-snapshot oracles; the
+        # sub-1e-18 bits a double delta may carry are truncated
+        # identically on every layout
+        .groupBy("id", "pos").agg(F.sum(F.col("dv").cast("decimal(38,18)")).cast("double").alias("d"))
         .groupBy("id").agg(F.array_sort(F.collect_list(F.struct("pos", "d"))).alias("p"))
         .select("id", F.transform("p", lambda s: s["d"]).alias("delta"))
     )
@@ -377,6 +391,10 @@ def climf_ranking(
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort: group row order is layout-dependent, and the axis sums
+        # below are float folds over it — sorted, the kernel is a pure
+        # function of the group's row SET (golden-oracle contract)
+        pdf = pdf.sort_values("item", kind="stable")
         user = int(pdf["user"].iloc[0])
         u = np.asarray(pdf["uvec"].iloc[0], dtype="float64")
         v = np.stack(pdf["ivec"].to_numpy()).astype("float64")
@@ -436,6 +454,8 @@ def tfmap_ranking(
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sorted for layout-independence (see climf kernel)
+        pdf = pdf.sort_values("item", kind="stable")
         user = int(pdf["user"].iloc[0])
         u = np.asarray(pdf["uvec"].iloc[0], dtype="float64")
         v = np.stack(pdf["ivec"].to_numpy()).astype("float64")

@@ -25,6 +25,7 @@ from pyspark.storagelevel import StorageLevel
 
 from okapi_spark.bsp import BSPResult, no_adaptive, run_supersteps
 from okapi_spark.graph.graph import Graph
+from okapi_spark.plans.broadcast import auto_state_broadcast
 
 
 def sybilrank(
@@ -33,16 +34,18 @@ def sybilrank(
     iteration_multiplier: float = 1.0,
     total_trust: float | None = None,
     state_broadcast: bool | None = None,
-    broadcast_threshold: int = 20_000_000,
+    broadcast_threshold: int | None = None,
 ) -> BSPResult:
     """trusted: (id long). Returns state (id long, rank double) where
     rank is the degree-normalized trust after the final iteration.
 
     ``state_broadcast``: the trust state is |V| rows every power
     iteration, so the zero-exchange broadcast plan is auto-gated on
-    |V| ≤ ``broadcast_threshold``; above it the classic two-shuffle
-    plan runs (state shuffles into the src join, map-side partial sum
-    combines messages).
+    estimated state bytes vs the shared 256MB budget
+    (plans/broadcast.py; ``broadcast_threshold`` overrides with an
+    explicit row count); above it the classic two-shuffle plan runs
+    (state shuffles into the src join, map-side partial sum combines
+    messages).
     """
     spark = graph.edges.sparkSession
     vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
@@ -50,7 +53,9 @@ def sybilrank(
     if total_trust is None:
         total_trust = float(n)
     if state_broadcast is None:
-        state_broadcast = n <= broadcast_threshold
+        # byte-budgeted gate (plans/broadcast.py, CC/LPA/PageRank
+        # precedent): (id, send) ~ 32B/row vs the 256MB budget
+        state_broadcast = auto_state_broadcast(n, row_bytes=32, rows_override=broadcast_threshold)
     n_trusted = trusted.select("id").distinct().count()
     if n_trusted == 0:
         raise ValueError("sybilrank needs at least one trusted vertex")

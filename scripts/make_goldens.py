@@ -71,6 +71,39 @@ def _verify_independent(name: str, rows: list, sf_dir: str) -> None:
                 bad[v] = (g, w)
         if bad or len(got) != len(want):
             raise SystemExit(f"REFUSING golden {name}: {len(bad)} cluster mismatches, e.g. {list(bad.items())[:5]}")
+    elif name == "jaccard_minhash":
+        want = ref_impl.ref_jaccard_minhash(sf_dir, num_hashes=16)
+        got = {int(r[0]): (int(r[1]), int(r[2])) for r in rows}
+        bad = {v: (got.get(v), want[v]) for v in want if got.get(v) != want[v]}
+        if bad or len(got) != len(want):
+            raise SystemExit(f"REFUSING golden {name}: {len(bad)} sketch mismatches, e.g. {list(bad.items())[:5]}")
+    elif name == "random_rank":
+        _, items = ref_impl.ref_random_ranking(ref_impl.ratings_table(sf_dir), vector_size=4)
+        _check_factor_rows(name, rows, items, n_dims=4, tol=1e-12)
+    elif name in ("sgd_2", "bpr_2", "climf_2", "tfmap_2"):
+        ratings = ref_impl.ratings_table(sf_dir)
+        fn = {
+            "sgd_2": lambda: ref_impl.ref_sgd(ratings, vector_size=2, iterations=2),
+            "bpr_2": lambda: ref_impl.ref_bpr(ratings, vector_size=2, iterations=2),
+            "climf_2": lambda: ref_impl.ref_climf(ratings, vector_size=2, iterations=2),
+            "tfmap_2": lambda: ref_impl.ref_tfmap(ratings, vector_size=2, iterations=2),
+        }[name]
+        _, items = fn()
+        # gate rows are 6dp-rounded; 1.01e-6 absorbs the <1e-12
+        # engine-vs-sequential summation-order drift (svdpp precedent)
+        _check_factor_rows(name, rows, {i: [round(v[0], 6), round(v[1], 6)] for i, v in items.items()},
+                           n_dims=2, tol=1.01e-6)
+
+
+def _check_factor_rows(name: str, rows: list, want: dict, n_dims: int, tol: float) -> None:
+    got = {int(r[0]): [float(x) for x in r[1:1 + n_dims]] for r in rows}
+    bad = {}
+    for i, vec in want.items():
+        g = got.get(i)
+        if g is None or any(abs(g[d] - float(vec[d])) > tol for d in range(n_dims)):
+            bad[i] = (g, list(vec))
+    if bad or len(got) != len(want):
+        raise SystemExit(f"REFUSING golden {name}: {len(bad)} factor mismatches, e.g. {list(bad.items())[:5]}")
 
 
 def main() -> None:

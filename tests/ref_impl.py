@@ -470,3 +470,359 @@ def ref_semiclustering(
             outbox[me] = new_outbox[me]
 
     return value
+
+# ---------------------------------------------------------------------------
+# Unweighted co-purchase adjacency (parity with __spark_entry__._graph)
+# ---------------------------------------------------------------------------
+
+def copurchase_adjacency(sf_dir: str) -> dict[int, list[int]]:
+    """{vertex: sorted neighbor list} of the distinct symmetric
+    co-purchase graph (parts sharing an order)."""
+    e = weighted_copurchase_edges(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for src, dst, _w in e.itertuples(index=False):
+        adj.setdefault(int(src), set()).add(int(dst))
+    return {v: sorted(ns) for v, ns in adj.items()}
+
+
+# ---------------------------------------------------------------------------
+# Approximate Jaccard via MinHash — Jaccard.java:212-243 approximation
+# slot (engine deviation: MinHash replaces the Bloom filter;
+# similarity.py jaccard_approx docstring).  Aggregated per vertex:
+# (id, n_edges, sum of 16*sim over incident undirected edges) — sims
+# are k/num_hashes so the 16x sums are exact integers, giving an
+# order-insensitive full-coverage checksum of every edge's sketch.
+# ---------------------------------------------------------------------------
+
+def ref_jaccard_minhash(sf_dir: str, num_hashes: int = 16) -> dict[int, tuple[int, int]]:
+    adj = copurchase_adjacency(sf_dir)
+    # hash each vertex id once per hash function (the graph is
+    # symmetric so every vertex appears as a neighbor)...
+    hv = {
+        v: [spark_xxhash64(("long", v), ("int", i)) for i in range(num_hashes)]
+        for v in adj
+    }
+    # ...then the signature is the per-function min over the neighbors
+    sig: dict[int, list[int]] = {}
+    for v, nbrs in adj.items():
+        sig[v] = [min(hv[d][i] for d in nbrs) for i in range(num_hashes)]
+    out: dict[int, list[int]] = {v: [0, 0] for v in adj}
+    for u, nbrs in adj.items():
+        su = sig[u]
+        for v in nbrs:
+            if u < v:
+                sv = sig[v]
+                agree = sum(1 for i in range(num_hashes) if su[i] == sv[i])
+                for x in (u, v):
+                    out[x][0] += 1
+                    out[x][1] += agree
+    return {v: (n, s) for v, (n, s) in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# CF ranking family + SGD — shared conventions
+# ---------------------------------------------------------------------------
+
+def _init_vec(vid: int, salt: str, vector_size: int, seed: int, scale: float) -> np.ndarray:
+    """ranking._init_factors convention: pmod(xxh64(id, f'{salt}:{i}',
+    seed), 1e9)/1e9 * scale per dimension."""
+    return np.array([
+        pmod(spark_xxhash64(("long", vid), f"{salt}:{i}", ("int", seed)), 10 ** 9) / 1e9 * scale
+        for i in range(vector_size)
+    ])
+
+
+def ref_random_ranking(ratings: pd.DataFrame, vector_size: int = 10, seed: int = 42):
+    """RandomRankingComputation.java:51-62 with the engine's
+    deterministic hash-uniform stand-in for the unseeded RNG:
+    f_i = pmod(xxh64(id, f'{salt}:{i}', seed), 1e9)/1e9 - 0.5."""
+    def mk(ids, salt):
+        return {
+            int(i): np.array([
+                pmod(spark_xxhash64(("long", int(i)), f"{salt}:{d}", ("int", seed)), 10 ** 9) / 1e9 - 0.5
+                for d in range(vector_size)
+            ])
+            for i in ids
+        }
+    return (
+        mk(sorted(ratings["user"].unique()), "u"),
+        mk(sorted(ratings["item"].unique()), "i"),
+    )
+
+
+def _rated_sets(pairs: list[tuple[int, int]]) -> dict[int, set[int]]:
+    rated: dict[int, set[int]] = {}
+    for u, i in pairs:
+        rated.setdefault(u, set()).add(i)
+    return rated
+
+
+def _draw_negative(u: int, pos: int, salt: str, seed: int,
+                   item_at: list[int], rated_u: set[int], probes: int = 3) -> int | None:
+    """ranking._sample_negatives semantics: idx = pmod(xxh64(user, pos,
+    salt, seed), n); each probe round bumps idx by 1 while the current
+    item is rated; a draw still rated after ``probes`` rounds is
+    dropped (None)."""
+    n = len(item_at)
+    idx = pmod(spark_xxhash64(("long", u), ("long", pos), salt, ("int", seed)), n)
+    for _ in range(probes):
+        if item_at[idx] in rated_u:
+            idx = (idx + 1) % n
+    neg = item_at[idx]
+    return None if neg in rated_u else neg
+
+
+def _sigmoid_s(x: float) -> float:
+    # overflow-safe scalar logistic (logf, AbstractCFRankingComputation)
+    if x >= 0:
+        return 1.0 / (1.0 + math.exp(-x))
+    e = math.exp(x)
+    return e / (1.0 + e)
+
+
+def ref_bpr(
+    ratings: pd.DataFrame,
+    vector_size: int = 10,
+    iterations: int = 30,
+    gamma: float = 0.05,
+    lambda_: float = 0.01,
+    seed: int = 42,
+):
+    """BPR (BPRRankingComputation.java:25-60; Rendle et al., UAI 2009)
+    — batch-synchronous: per iteration every (user, pos) pair draws a
+    hash negative, the AUC gradient deltas are ACCUMULATED across all
+    triples and applied once (the reference's message-accumulated
+    apply).  Returns ({user: vec}, {item: vec})."""
+    pairs = sorted({(int(u), int(i)) for u, i in ratings[["user", "item"]].itertuples(index=False)})
+    rated = _rated_sets(pairs)
+    item_at = sorted({i for _, i in pairs})
+    U = {u: _init_vec(u, "u", vector_size, seed, 0.1) for u in rated}
+    V = {i: _init_vec(i, "i", vector_size, seed, 0.1) for i in item_at}
+    for it in range(iterations):
+        dU = {u: np.zeros(vector_size) for u in U}
+        dV = {i: np.zeros(vector_size) for i in V}
+        for u, pos in pairs:
+            neg = _draw_negative(u, pos, f"neg{it}", seed, item_at, rated[u])
+            if neg is None:
+                continue
+            pu, qi, qj = U[u], V[pos], V[neg]
+            diff = qi - qj
+            s = _sigmoid_s(-float(pu @ diff))
+            dU[u] += gamma * (s * diff - lambda_ * pu)
+            dV[pos] += gamma * (s * pu - lambda_ * qi)
+            dV[neg] += gamma * (-s * pu - lambda_ * qj)
+        for u in U:
+            U[u] = U[u] + dU[u]
+        for i in V:
+            V[i] = V[i] + dV[i]
+    return U, V
+
+
+def _capped_relevants(pairs, rated, seed: int, max_buffer: int | None):
+    """Per-user relevant list sorted by item id, truncated to
+    ``max_buffer`` by (xxh64(user, item, seed), item) order — the
+    engine's deterministic stable-sample cap."""
+    rel: dict[int, list[int]] = {}
+    for u, its in rated.items():
+        its = sorted(its)
+        if max_buffer is not None and len(its) > max_buffer:
+            keyed = sorted(its, key=lambda i: (spark_xxhash64(("long", u), ("long", i), ("int", seed)), i))
+            its = sorted(keyed[:max_buffer])
+        rel[u] = its
+    return rel
+
+
+def ref_climf(
+    ratings: pd.DataFrame,
+    vector_size: int = 10,
+    iterations: int = 30,
+    gamma: float = 0.05,
+    lambda_: float = 0.01,
+    seed: int = 42,
+    max_buffer: int | None = 1024,
+):
+    """CLiMF (Shi et al., RecSys 2012, eqs. 10-11 — the paper gradient
+    the reference code cites; ClimfRankingComputation.java:59-133).
+    Per user with relevant vectors V_j and user vector U, f_j = V_j·U:
+
+      dU   = γ[ Σ_j σ(−f_j)V_j + Σ_j (Σ_k σ(f_k−f_j) − Σ_k σ(f_j−f_k)) V_j − λU ]
+      dV_j = γ[ (σ(−f_j) + Σ_k (σ(f_k−f_j) − σ(f_j−f_k))) U − λV_j ]
+
+    Deltas accumulated over all users per iteration, applied once."""
+    pairs = sorted({(int(u), int(i)) for u, i in ratings[["user", "item"]].itertuples(index=False)})
+    rated = _rated_sets(pairs)
+    rel = _capped_relevants(pairs, rated, seed, max_buffer)
+    items = sorted({i for _, i in pairs})
+    U = {u: _init_vec(u, "u", vector_size, seed, 0.1) for u in rated}
+    V = {i: _init_vec(i, "i", vector_size, seed, 0.1) for i in items}
+    for _ in range(iterations):
+        dU = {u: np.zeros(vector_size) for u in U}
+        dV = {i: np.zeros(vector_size) for i in V}
+        for u in sorted(rel):
+            its = rel[u]
+            uv = U[u]
+            vs = [V[i] for i in its]
+            f = [float(v @ uv) for v in vs]
+            m = len(its)
+            du = -lambda_ * uv.copy()
+            for j in range(m):
+                coef = sum(_sigmoid_s(f[k] - f[j]) for k in range(m)) \
+                     - sum(_sigmoid_s(f[j] - f[k]) for k in range(m))
+                du = du + (_sigmoid_s(-f[j]) + coef) * vs[j]
+                scal = _sigmoid_s(-f[j]) + sum(
+                    _sigmoid_s(f[k] - f[j]) - _sigmoid_s(f[j] - f[k]) for k in range(m)
+                )
+                dV[its[j]] += gamma * (scal * uv - lambda_ * vs[j])
+            dU[u] += gamma * du
+        for u in U:
+            U[u] = U[u] + dU[u]
+        for i in V:
+            V[i] = V[i] + dV[i]
+    return U, V
+
+
+def ref_tfmap(
+    ratings: pd.DataFrame,
+    vector_size: int = 10,
+    iterations: int = 30,
+    gamma: float = 0.05,
+    lambda_: float = 0.01,
+    seed: int = 42,
+    max_buffer: int | None = 1024,
+):
+    """TFMAP (Shi et al., SIGIR 2012; TFMAPRankingComputation.java:43-148,
+    context omitted like the reference).  Buffer per user = relevant
+    items + per-relevant-draw hash-sampled irrelevant items (distinct,
+    still-rated draws dropped).  With R the relevant set, f = V·U:
+
+      dU   = γ[ (1/|R|) Σ_{i∈R}( σ'(f_i)(Σ_{j∈R} σ(f_j−f_i)) V_i
+               + σ(f_i) Σ_{j∈R} σ'(f_j−f_i)(V_j−V_i) ) − λU ]
+      dV_i = γ[ (1/|R|) Σ_{j∈R}( σ'(f_i)σ(f_j−f_i) + σ(f_j)
+               − σ(f_i)σ'(f_j−f_i) ) U − λV_i ]  for EVERY buffered i
+    """
+    def sigd(x: float) -> float:
+        s = _sigmoid_s(x)
+        return s * (1.0 - s)
+
+    pairs = sorted({(int(u), int(i)) for u, i in ratings[["user", "item"]].itertuples(index=False)})
+    rated = _rated_sets(pairs)
+    rel = _capped_relevants(pairs, rated, seed, max_buffer)
+    item_at = sorted({i for _, i in pairs})
+    U = {u: _init_vec(u, "u", vector_size, seed, 0.1) for u in rated}
+    V = {i: _init_vec(i, "i", vector_size, seed, 0.1) for i in item_at}
+    for it in range(iterations):
+        dU = {u: np.zeros(vector_size) for u in U}
+        dV = {i: np.zeros(vector_size) for i in V}
+        for u in sorted(rel):
+            rel_items = rel[u]
+            irr = set()
+            for pos in rel_items:
+                # rejection is against the FULL rated set (engine:
+                # _sample_negatives gets `ratings`, not the cap)
+                neg = _draw_negative(u, pos, f"irr{it}", seed, item_at, rated[u])
+                if neg is not None:
+                    irr.add(neg)
+            buffered = sorted(set(rel_items) | irr)
+            rel_mask = {i: (i in rated[u]) for i in buffered}
+            uv = U[u]
+            vget = {i: V[i] for i in buffered}
+            f = {i: float(vget[i] @ uv) for i in buffered}
+            R = [i for i in buffered if rel_mask[i]]
+            r = len(R)
+            if r == 0:
+                continue
+            du = np.zeros(vector_size)
+            for i in R:
+                term1 = sigd(f[i]) * sum(_sigmoid_s(f[j] - f[i]) for j in R) * vget[i]
+                term2 = _sigmoid_s(f[i]) * sum(
+                    sigd(f[j] - f[i]) * (vget[j] - vget[i]) for j in R
+                )
+                du = du + term1 + term2
+            dU[u] += gamma * (du / r - lambda_ * uv)
+            for i in buffered:
+                bsum = sum(
+                    sigd(f[i]) * _sigmoid_s(f[j] - f[i]) + _sigmoid_s(f[j])
+                    - _sigmoid_s(f[i]) * sigd(f[j] - f[i])
+                    for j in R
+                )
+                dV[i] += gamma * ((bsum / r) * uv - lambda_ * vget[i])
+        for u in U:
+            U[u] = U[u] + dU[u]
+        for i in V:
+            V[i] = V[i] + dV[i]
+    return U, V
+
+
+def ref_sgd(
+    ratings: pd.DataFrame,
+    vector_size: int = 3,
+    lambda_: float = 0.01,
+    gamma: float = 0.005,
+    iterations: int = 10,
+    min_rating: float = 0.0,
+    max_rating: float = 5.0,
+    seed: int = 42,
+    max_buffer: int | None = 100_000,
+):
+    """SGD MF (Sgd.java:162-192): v ← v − γ(λv + err·u), err from the
+    CLIPPED prediction; user pass folds each user's ratings in item-id
+    order against the OLD item factors, item pass folds in user-id
+    order against the NEW user factors (the engine's deterministic
+    stand-in for Giraph's arrival order).  Cap cascade: per-user then
+    per-item hash-ordered truncation (engine sgd max_buffer)."""
+    rows = [(int(u), int(i), float(r)) for u, i, r in ratings[["user", "item", "rating"]].itertuples(index=False)]
+    train = rows
+    if max_buffer is not None:
+        def cap(rws, gpos, opos):
+            by: dict[int, list] = {}
+            for t in rws:
+                by.setdefault(t[gpos], []).append(t)
+            out = []
+            for g, ts in by.items():
+                if len(ts) > max_buffer:
+                    ts = sorted(ts, key=lambda t: (
+                        spark_xxhash64(("long", t[gpos]), ("long", t[opos]), ("int", seed)), t[opos]
+                    ))[:max_buffer]
+                out.extend(ts)
+            return out
+        train = cap(cap(rows, 0, 1), 1, 0)
+
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    by_item: dict[int, list[tuple[int, float]]] = {}
+    for u, i, r in train:
+        by_user.setdefault(u, []).append((i, r))
+        by_item.setdefault(i, []).append((u, r))
+    for u in by_user:
+        by_user[u].sort()
+    for i in by_item:
+        by_item[i].sort()
+
+    users = sorted({u for u, _, _ in rows})
+    items = sorted({i for _, i, _ in rows})
+    # cf._init_factors convention: salt 'user'/'item', scale 0.01
+    U = {u: _init_vec(u, "user", vector_size, seed, 0.01) for u in users}
+    V = {i: _init_vec(i, "item", vector_size, seed, 0.01) for i in items}
+
+    def clip(x: float) -> float:
+        return min(max(x, min_rating), max_rating)
+
+    for _ in range(iterations):
+        newU = {}
+        for u in users:
+            v = U[u].copy()
+            for i, r in by_user.get(u, []):
+                q = V[i]
+                err = clip(float(np.dot(v, q))) - r
+                v = v - gamma * (lambda_ * v + err * q)
+            newU[u] = v
+        U = newU
+        newV = {}
+        for i in items:
+            v = V[i].copy()
+            for u, r in by_item.get(i, []):
+                p = U[u]
+                err = clip(float(np.dot(v, p))) - r
+                v = v - gamma * (lambda_ * v + err * p)
+            newV[i] = v
+        V = newV
+    return U, V

@@ -138,3 +138,86 @@ def test_semiclustering_matches_independent_impl(spark):
             assert math.isclose(gi, wi, abs_tol=1e-9)
             assert math.isclose(gb, wb, abs_tol=1e-9)
             assert math.isclose(gs, ws, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round 5: the formerly pytest-only operators, now golden-gated — each
+# gate query checked against its pure-Python ref_impl recomputation
+# ---------------------------------------------------------------------------
+
+def test_jaccard_minhash_matches_independent_impl(spark):
+    """jaccard_minhash gate query — per-vertex (incident-edge count,
+    Σ 16·sim) checksum; sims are multiples of 1/16 so equality is
+    exact-integer."""
+    from ref_impl import ref_jaccard_minhash
+
+    got = {
+        int(r["id"]): (int(r["n_edges"]), int(r["sum_sim16"]))
+        for r in entrymod.queries()["jaccard_minhash"](spark, SF_DIR).collect()
+    }
+    want = ref_jaccard_minhash(SF_DIR, num_hashes=16)
+    assert got == want
+
+
+def test_random_ranking_matches_independent_impl(spark):
+    from ref_impl import ref_random_ranking
+
+    got = {
+        int(r["id"]): [r["f0"], r["f1"], r["f2"], r["f3"]]
+        for r in entrymod.queries()["random_rank"](spark, SF_DIR).collect()
+    }
+    _, items = ref_random_ranking(ratings_table(SF_DIR), vector_size=4)
+    assert set(got) == set(items)
+    for i, vec in items.items():
+        np.testing.assert_allclose(got[i], vec, atol=1e-12, err_msg=f"item {i}")
+
+
+def _check_gate_factors(spark, name: str, ref_fn):
+    """Shared engine-vs-ref comparison for the 2-D factor gates:
+    item factors via the gate projection (6dp-rounded), 1.01e-6
+    tolerance absorbing engine-vs-sequential summation-order drift."""
+    import __spark_entry__ as em
+
+    got = {
+        int(r["id"]): [float(r["f0"]), float(r["f1"])]
+        for r in em.queries()[name](spark, SF_DIR).collect()
+    }
+    _, items = ref_fn(ratings_table(SF_DIR), vector_size=2, iterations=2)
+    assert set(got) == set(items)
+    for i, vec in items.items():
+        np.testing.assert_allclose(
+            got[i], [round(float(vec[0]), 6), round(float(vec[1]), 6)],
+            atol=1.01e-6, err_msg=f"{name} item {i}",
+        )
+
+
+def test_sgd_matches_independent_impl(spark):
+    """sgd_2 gate query (Sgd.java:162-192 semantics, deterministic
+    fold order) vs the sequential recomputation."""
+    from ref_impl import ref_sgd
+
+    _check_gate_factors(spark, "sgd_2", ref_sgd)
+
+
+def test_bpr_matches_independent_impl(spark):
+    """bpr_2 gate query (BPRRankingComputation.java:25-60; hash-drawn
+    negatives, batch-accumulated deltas) vs the sequential rerun."""
+    from ref_impl import ref_bpr
+
+    _check_gate_factors(spark, "bpr_2", ref_bpr)
+
+
+def test_climf_matches_independent_impl(spark):
+    """climf_2 gate query (paper-gradient CLiMF) vs the per-pair-loop
+    sequential recomputation."""
+    from ref_impl import ref_climf
+
+    _check_gate_factors(spark, "climf_2", ref_climf)
+
+
+def test_tfmap_matches_independent_impl(spark):
+    """tfmap_2 gate query (smoothed-MAP gradient, relevant + sampled
+    irrelevant buffer) vs the sequential recomputation."""
+    from ref_impl import ref_tfmap
+
+    _check_gate_factors(spark, "tfmap_2", ref_tfmap)

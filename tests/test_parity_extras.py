@@ -29,10 +29,13 @@ def test_mssp_fraction_sources_deterministic(spark):
     """MultipleSourceShortestPathsTest.java:50-52 shape: seeded
     fraction-based source selection is reproducible."""
     g = Graph.from_edges(toy_edges(spark, FIVE_VERTEX))
-    s1 = mssp_sources_by_fraction(g, fraction=0.4, seed=0)
-    s2 = mssp_sources_by_fraction(g, fraction=0.4, seed=0)
+    # fraction mode returns a DataFrame (sources never transit the
+    # driver — they can be O(|V|)); collected here only to assert
+    sources_df = mssp_sources_by_fraction(g, fraction=0.4, seed=0)
+    s1 = sorted(r.id for r in sources_df.collect())
+    s2 = sorted(r.id for r in mssp_sources_by_fraction(g, fraction=0.4, seed=0).collect())
     assert s1 == s2 and len(s1) >= 1
-    res = mssp(g, s1)
+    res = mssp(g, sources_df)
     sym = FIVE_VERTEX + [(d, s, w) for s, d, w in FIVE_VERTEX]
     for src in s1:
         want = sssp_oracle(sym, src)

@@ -231,6 +231,44 @@ def test_multimodal_real_decode_roundtrip(spark):
     assert feats[1][0] == 0.0 and abs(feats[2][0] - 1.0) < 1e-6
 
 
+def test_multimodal_totality_and_rectangular_features(spark):
+    """ADVICE r4 items: (1) corrupt payloads carrying the OKPX/OKPA
+    magic fall back to the hash feature instead of failing the task;
+    (2) truncated headers raise the descriptive ValueError (not a bare
+    struct/numpy error); (3) the feature column stays rectangular at
+    feature_dim > 32 (hash fallback used to cap at one digest)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import (
+        _AUD_MAGIC,
+        decode_audio,
+        decode_image,
+        encode_image,
+    )
+
+    # (2) header/body validation raises ValueError, not struct/numpy errors
+    with pytest.raises(ValueError):
+        decode_image(b"OKPX\x01")  # magic + partial header
+    with pytest.raises(ValueError):
+        decode_audio(b"OKPA\x01\x40\x1f\x00")  # partial header
+    with pytest.raises(ValueError):
+        # odd-length body: would hit numpy's buffer error un-checked
+        decode_audio(_AUD_MAGIC + _struct.pack("<BII", 1, 8000, 2) + b"\x01\x02\x03")
+
+    # (1)+(3): corrupt-magic rows flow through extract_features, and a
+    # 40-dim run is rectangular across decoded and fallback rows
+    ok = encode_image(np.zeros((4, 4, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, ok), (2, b"OKPX\x01"), (3, _AUD_MAGIC + b"\x07"), (4, b"opaque")],
+        "media_id long, payload binary",
+    )
+    feats = {r.media_id: r.feature for r in extract_features(df, feature_dim=40).collect()}
+    assert set(feats) == {1, 2, 3, 4}
+    assert all(len(v) == 40 for v in feats.values())
+
+
 def test_ivf_topk_recall_and_exact_degeneration(spark):
     from okapi_spark.functions.simsearch import ivf_topk
 
