@@ -25,6 +25,32 @@ import sys
 import time
 
 
+def _cpu_times() -> list[int] | None:
+    """Aggregate jiffies from /proc/stat: user nice system idle iowait
+    irq softirq steal."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_delta(a: list[int] | None, b: list[int] | None) -> dict | None:
+    """Percent of elapsed CPU time spent in system / iowait / steal
+    over a measurement window — the attribution channel for co-tenant
+    noise (VERDICT r4 "next round #2": a wall inflated by hypervisor
+    steal or kernel time shows up here, a plan regression doesn't)."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return {
+        "sys_pct": round(100.0 * d[2] / tot, 1),
+        "iowait_pct": round(100.0 * d[4] / tot, 1),
+        "steal_pct": round(100.0 * d[7] / tot, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -102,14 +128,18 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     walls: dict[str, list[float]] = {}
+    cpu_attr: dict[str, list[dict | None]] = {}
     best_aux: dict = {}
     for name, fn in suite:
         best = None
         walls[name] = []
+        cpu_attr[name] = []
         for r in range(runs):
+            c0 = _cpu_times()
             t0 = time.time()
             fn()
             dt = time.time() - t0
+            cpu_attr[name].append(_cpu_delta(c0, _cpu_times()))
             walls[name].append(round(dt, 3))
             if best is None or dt < best:
                 best = dt
@@ -142,6 +172,9 @@ def main() -> None:
                 # visible at a glance, so a +10% min-of-N swing is
                 # attributable to box noise vs a real regression
                 "query_walls": walls,
+                # per-run /proc/stat deltas (sys/iowait/steal % of the
+                # window) — attributes wall outliers to box state
+                "query_cpu": cpu_attr,
                 "n_edges": n_edges,
                 "n_vertices": state["n_vertices"],
                 "n_triangles": state["n_tri"],

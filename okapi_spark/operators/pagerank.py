@@ -193,7 +193,7 @@ def pagerank(
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
-            msgs = _csr_messages_bcast(shares, state, epoch, bcast_slot)
+            msgs = _csr_messages_bcast(shares, state, epoch, bcast_slot, n_rows=n)
         elif mode == "csr_cogroup":
             msgs = _csr_messages(shares, state, num_partitions, epoch)
         elif state_broadcast:
@@ -269,7 +269,10 @@ def pagerank(
     return result
 
 
-def _gather_state_arrays(state: DataFrame) -> tuple:
+_GATHER_PANDAS_MAX_ROWS = 1_000_000
+
+
+def _gather_state_arrays(state: DataFrame, n_rows: int | None = None) -> tuple:
     """Executor-side state gather (VERDICT r4 "what's wrong" #2): each
     partition packs and SORTS its (id, rank) rows into two raw numpy
     buffers inside ``mapInArrow`` — the driver receives one ~16B/row
@@ -278,9 +281,21 @@ def _gather_state_arrays(state: DataFrame) -> tuple:
     still transits the driver once per superstep — inherent to
     ``sc.broadcast`` — but the driver-side work is now O(P) object
     handling + one argsort over presorted runs, and the csr modes are
-    byte-gated (≤256MB state) before this path can run."""
+    byte-gated (≤256MB state) before this path can run.
+
+    Below ``_GATHER_PANDAS_MAX_ROWS`` the plain Arrow collect wins: the
+    mapInArrow pack pays a Python-worker round per partition, measured
+    ~+0.4s/superstep at |V|=20k for zero benefit when the driver-side
+    pandas materialization is microseconds — so small states take the
+    direct path and the binary pack engages where it matters."""
     import numpy as np
     import pyarrow as pa
+
+    if n_rows is not None and n_rows <= _GATHER_PANDAS_MAX_ROWS:
+        pdf = state.select("id", "rank").toPandas()
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        return ids[order], pdf["rank"].to_numpy()[order]
 
     def pack(batches):
         ids, rks = [], []
@@ -306,7 +321,8 @@ def _gather_state_arrays(state: DataFrame) -> tuple:
 
 
 def _csr_messages_bcast(
-    shares: DataFrame, state: DataFrame, epoch: int, bcast_slot: list | None = None
+    shares: DataFrame, state: DataFrame, epoch: int, bcast_slot: list | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """dst-partitioned CSR gather-scatter with numpy-broadcast state:
     the partition owns every in-edge of its dst's, so the per-dst sums
@@ -314,7 +330,7 @@ def _csr_messages_bcast(
     import numpy as np
 
     spark = state.sparkSession
-    b = spark.sparkContext.broadcast(_gather_state_arrays(state))
+    b = spark.sparkContext.broadcast(_gather_state_arrays(state, n_rows=n_rows))
     if bcast_slot is not None:
         if bcast_slot[0] is not None:
             # previous superstep's state is materialized (localCheckpoint

@@ -67,7 +67,13 @@ spark.stop()
 
 def robust(all_walls: list[list[float]]) -> float:
     n = min(len(w) for w in all_walls)
-    mins = [min(w[i] for w in all_walls) for i in range(3, n)]
+    if n <= 3:
+        # warm supersteps 0-2 are normally dropped; with reps <= 3
+        # nothing would remain and median([]) raises a bare
+        # StatisticsError — fall back to the full wall list (ADVICE r4)
+        mins = [min(w[i] for w in all_walls) for i in range(n)]
+    else:
+        mins = [min(w[i] for w in all_walls) for i in range(3, n)]
     return statistics.median(mins)
 
 

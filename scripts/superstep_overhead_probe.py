@@ -32,10 +32,13 @@ from scaling_bench import run  # noqa: E402
 
 
 def robust_ss(runs: list[dict]) -> float:
-    """Median of per-index minima over warm supersteps (4+)."""
+    """Median of per-index minima over warm supersteps (4+); with
+    fewer than 4 supersteps fall back to all of them rather than
+    median([]) (ADVICE r4)."""
     arrs = [r["per_superstep_sec"] for r in runs]
     n = min(len(a) for a in arrs)
-    mins = [min(a[i] for a in arrs) for i in range(3, n)]
+    start = 3 if n > 3 else 0
+    mins = [min(a[i] for a in arrs) for i in range(start, n)]
     return statistics.median(mins)
 
 

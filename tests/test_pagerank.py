@@ -80,3 +80,22 @@ def test_pagerank_salted_shuffle_branch_matches_oracle(spark):
     b = {r.id: r.rank for r in bres.state.collect()}
     s = {r.id: r.rank for r in sres.state.collect()}
     assert max(abs(b[v] - s[v]) for v in b) < 1e-12
+
+
+def test_gather_state_arrays_paths_identical(spark):
+    """The executor-side binary pack (scale path) and the direct Arrow
+    collect (small-state path) must assemble identical sorted arrays —
+    the csr broadcast is built from whichever the size gate picks."""
+    from pyspark.sql import functions as F
+
+    from okapi_spark.operators.pagerank import _gather_state_arrays
+
+    df = (
+        spark.range(0, 5000)
+        .select(F.col("id"), (F.col("id") * 0.001).alias("rank"))
+        .repartition(8)
+    )
+    small = _gather_state_arrays(df, n_rows=5000)   # direct collect path
+    packed = _gather_state_arrays(df, n_rows=None)  # mapInArrow pack path
+    assert (small[0] == packed[0]).all()
+    assert (small[1] == packed[1]).all()
