@@ -22,6 +22,8 @@ deterministic via hash-derived per-(vertex, round) uniforms.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -360,6 +362,7 @@ def _spinner_loop(
     rounds = 0
 
     for rnd in range(max_iterations):
+        _round_t0 = time.time()
         rounds = rnd + 1
         pf = {p: lam * _ceil3(loads.get(p, 0.0) / capacity) for p in range(k_total)}
         pf_expr = F.create_map(*[x for p in range(k_total) for x in (F.lit(p), F.lit(pf[p]))])
@@ -465,6 +468,7 @@ def _spinner_loop(
                 "superstep": rnd, "score": score, "migrations": 0,
                 "local_edges_pct": 100.0 * local_edges / max(total_edges, 1),
                 "loads": loads, "_halted": True,
+                "superstep_sec": time.time() - _round_t0,
             })
             break
 
@@ -515,6 +519,7 @@ def _spinner_loop(
             "max_norm_load": max(load_vals) / expected if expected else 0.0,
             "loads": loads,  # this round's pre-migration loads
             "_halted": False,
+            "superstep_sec": time.time() - _round_t0,
         })
         loads = next_loads
 

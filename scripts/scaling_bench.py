@@ -101,6 +101,16 @@ else:
         t0 = time.time()
         res = label_propagation(g, iterations=iters, num_partitions=cores,
                                 state_broadcast=state_broadcast)
+    elif job == "spinner":
+        # full migration protocol, k=32, threshold=0 so no early
+        # convergence — every side runs exactly `iters` rounds
+        # (spinner has the heaviest per-round driver choreography:
+        # two persists + one fused stats collect per round)
+        from okapi_spark.operators.lpa import spinner_partition
+        t0 = time.time()
+        res = spinner_partition(g, k=32, max_iterations=iters, threshold=0.0,
+                                num_partitions=cores,
+                                state_broadcast=state_broadcast)
     else:
         from okapi_spark.operators.pagerank import pagerank
         t0 = time.time()

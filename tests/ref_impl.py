@@ -189,6 +189,7 @@ def ref_spinner(
     threshold: float = 0.001,
     window: int = 5,
     seed: int = 42,
+    repartition: int = 0,
 ) -> dict[int, int]:
     """Sequential Spinner over a symmetric-distinct weighted edge list.
 
@@ -201,7 +202,12 @@ def ref_spinner(
     the migration coin = hash_uniform(id, round, seed).  Convergence:
     |1 - score/max(last `window` scores)| < threshold checked before
     migrating, only once more than `window` rounds have run
-    (algorithmConverged, :637-655).  Returns {vertex: partition}.
+    (algorithmConverged, :637-655).  ``repartition`` applies the
+    Repartitioner adaptation (:467-524): label space becomes
+    k+repartition, up-scale moves any vertex into a new label with
+    probability repartition/(k+repartition), down-scale rehashes
+    orphaned vertices uniformly over the survivors — hash conventions
+    exactly as lpa.py:311-328.  Returns {vertex: partition}.
     """
     adj: dict[int, list[tuple[int, float]]] = {}
     deg: dict[int, int] = {}
@@ -213,12 +219,22 @@ def ref_spinner(
         wdeg[src] = wdeg.get(src, 0.0) + w
     vertices = sorted(adj)
     total_edges = int(len(edges))
-    capacity = total_edges * (1.0 + additional_capacity) / k
+    k_total = k + repartition
+    capacity = total_edges * (1.0 + additional_capacity) / k_total
 
     def ceil3(x: float) -> float:
         return math.ceil(x * 1000.0) / 1000.0
 
     part = {v: pmod(spark_xxhash64(("long", v), ("int", seed)), k) for v in vertices}
+    if repartition < 0:
+        for v in vertices:
+            if part[v] >= k_total:
+                part[v] = pmod(spark_xxhash64(("long", v), "down", ("int", seed)), k_total)
+    elif repartition > 0:
+        for v in vertices:
+            if hash_uniform(("long", v), "up", ("int", seed)) < repartition / k_total:
+                part[v] = k + pmod(spark_xxhash64(("long", v), "new", ("int", seed)), repartition)
+    k = k_total
     loads = [0.0] * k
     for v in vertices:
         loads[part[v]] += deg[v]

@@ -221,3 +221,58 @@ def test_tfmap_matches_independent_impl(spark):
     from ref_impl import ref_tfmap
 
     _check_gate_factors(spark, "tfmap_2", ref_tfmap)
+
+
+# ---------------------------------------------------------------------------
+# round 5: non-default hyperparameter points — the independent oracle
+# pins the PROTOCOL, not one configuration (VERDICT r4 "next round #8")
+# ---------------------------------------------------------------------------
+
+def test_spinner_repartition_variant_matches_independent_impl(spark):
+    """Spinner k=4 WITH up-scale repartition adaptation (+2 labels):
+    exercises the Repartitioner init path (Spinner.java:467-524) and a
+    different label-space width than the gate query."""
+    from okapi_spark.operators.lpa import spinner_partition
+
+    res = spinner_partition(
+        entrymod._weighted_graph(spark, SF_DIR),
+        k=4, repartition=2, max_iterations=6, seed=7,
+    )
+    got = {int(r["id"]): int(r["part"]) for r in res.state.collect()}
+    want = ref_spinner(
+        weighted_copurchase_edges(SF_DIR),
+        k=4, repartition=2, max_iterations=6, seed=7,
+    )
+    assert len(got) == len(want)
+    diff = {v: (got[v], want[v]) for v in want if got[v] != want[v]}
+    assert not diff, f"{len(diff)} vertices differ, e.g. {list(diff.items())[:5]}"
+
+
+def test_semiclustering_capacity_variant_matches_independent_impl(spark):
+    """Semi-clustering with cluster_capacity=6 / max_clusters=3 —
+    the union/extend/trim kernel at a different trim point."""
+    from okapi_spark.operators.semiclustering import semi_clustering
+
+    out = semi_clustering(
+        entrymod._weighted_graph(spark, SF_DIR),
+        iterations=2, max_clusters=3, cluster_capacity=6,
+    )
+    got = {
+        int(r["id"]): [
+            (tuple(c["vs"]), c["inner"], c["boundary"], c["score"]) for c in r["clusters"]
+        ]
+        for r in out.collect()
+    }
+    want = ref_semiclustering(
+        weighted_copurchase_edges(SF_DIR),
+        iterations=2, max_clusters=3, cluster_capacity=6,
+    )
+    assert set(got) == set(want)
+    for v, clusters in want.items():
+        gc = got[v]
+        assert len(gc) == len(clusters), f"vertex {v}: cluster count"
+        for (gvs, gi, gb, gs), (wvs, wi, wb, ws) in zip(gc, clusters):
+            assert tuple(sorted(gvs)) == wvs, f"vertex {v}: cluster membership"
+            assert math.isclose(gi, wi, abs_tol=1e-9)
+            assert math.isclose(gb, wb, abs_tol=1e-9)
+            assert math.isclose(gs, ws, abs_tol=1e-9)
