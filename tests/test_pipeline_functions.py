@@ -315,3 +315,111 @@ def test_lang_id_and_token_counts(spark):
     assert got[5].ws == 3
     # foo|123|bar|,|baz|! → 6 BPE-ish units
     assert got[5].bpe == 6
+
+
+def _encode_png(px, filter_types):
+    """Minimal test-side PNG encoder (spec-forward filtering) so the
+    library decoder is exercised against independently built bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b""
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int16)
+        f = filter_types[y % len(filter_types)]
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(c, dtype=np.int16), cur[:-c]])
+            filt = cur - left
+        elif f == 2:  # Up
+            filt = cur - prev
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(c, dtype=np.int16), cur[:-c]])
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(c, dtype=np.int16), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, dtype=np.int16), prev[:-c]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = cur - pred
+        raw += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_and_color_types():
+    """The built-in pure-zlib/NumPy PNG decoder recovers exact pixels
+    through every scanline filter (None/Sub/Up/Average/Paeth) and all
+    four 8-bit color types."""
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(9, 5, c)).astype(np.uint8)
+        payload = _encode_png(px, filter_types=[0, 1, 2, 3, 4])
+        out = decode_image(payload)
+        assert out.shape == (9, 5, c)
+        assert (out == px).all(), f"PNG c={c} pixel mismatch"
+
+
+def test_bmp_pnm_wav_decode():
+    import struct as _struct
+
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_audio, decode_image
+
+    # --- 24-bit bottom-up BMP with 4-byte row padding (w=3 -> stride 12)
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(4, 3, 3)).astype(np.uint8)
+    stride = (3 * 3 + 3) & ~3
+    rows = b""
+    for y in range(3, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    bmp = (
+        b"BM" + _struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 3, 4, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+    assert (decode_image(bmp) == px).all()
+
+    # --- P6 PPM with a comment line
+    ppm = b"P6\n# test\n3 2\n255\n" + px[:2].tobytes()
+    assert (decode_image(ppm) == px[:2]).all()
+    # --- P5 PGM
+    gray = px[:, :, 0]
+    pgm = b"P5 3 4 255\n" + gray.tobytes()
+    assert (decode_image(pgm)[:, :, 0] == gray).all()
+
+    # --- stereo PCM16 WAV averages to mono
+    samples = np.array([[100, 300], [-200, -400], [32000, 32000]], dtype="<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    rate, mono = decode_audio(wav)
+    assert rate == 8000
+    assert list(mono) == [200, -300, 32000]
