@@ -423,3 +423,363 @@ def test_bmp_pnm_wav_decode():
     rate, mono = decode_audio(wav)
     assert rate == 8000
     assert list(mono) == [200, -300, 32000]
+
+
+# --- baseline JPEG: test-side encoder + decoder tests -------------------
+
+# Annex K quantization tables (natural/row-major order here; DQT stores
+# them zigzagged below).
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+# Annex K Huffman table specs: (BITS[1..16], HUFFVAL). The decoder reads
+# whatever tables the DHT segment carries, so encoder/decoder stay
+# self-consistent by construction; the asserts guard canonical validity.
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+for _bits, _vals in (_DC_L, _DC_C, _AC_L, _AC_C):
+    assert sum(_bits) == len(_vals)
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81
+    B.1.1.5); flush pads the final partial byte with 1-bits."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self):
+        while self.nbits:
+            self.put(1, 1)
+
+
+def _jpeg_codes(bits, vals):
+    """Canonical Huffman assignment (same walk as the decoder LUT):
+    symbol -> (code, length)."""
+    codes, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_quality_scale(tbl, quality):
+    import numpy as np
+
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((np.array(tbl, dtype=np.int64) * scale + 50) // 100, 1, 255)
+
+
+def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
+    """Minimal test-side baseline JPEG encoder (spec-forward: forward
+    DCT + Annex K tables) so the library decoder is exercised against
+    independently built bytes. Supports gray (HxW) and RGB (HxWx3),
+    4:4:4 or 4:2:0 chroma, and DRI/RSTn restart intervals."""
+    import struct
+
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import _DCT_C, _ZIGZAG
+
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    h_img, w_img = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample == "420" else [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    qzig = [
+        _jpeg_quality_scale(_JPEG_QL, quality)[_ZIGZAG],
+        _jpeg_quality_scale(_JPEG_QC, quality)[_ZIGZAG],
+    ]
+    qnat = [np.zeros(64, dtype=np.int64) for _ in range(2)]
+    for t in range(2):
+        qnat[t][_ZIGZAG] = qzig[t]
+
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    def comp_blocks(plane, sh, sv):
+        # downsample by box mean to the component resolution, pad by
+        # edge replication to whole MCUs, return (rows, cols, 8, 8)
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            plane = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        rows, cols = mcus_y * sv, mcus_x * sh
+        plane = np.pad(
+            plane,
+            ((0, rows * 8 - plane.shape[0]), (0, cols * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        return plane.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
+
+    quantized = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        blocks = comp_blocks(plane, sh, sv) - 128.0
+        freq = np.einsum("ij,rcjk,kl->rcil", _DCT_C, blocks, _DCT_C.T)
+        qt = qnat[0 if ci == 0 else 1].reshape(8, 8)
+        quantized.append(np.round(freq / qt).astype(np.int64))
+
+    dc_codes = [_jpeg_codes(*_DC_L), _jpeg_codes(*_DC_C)]
+    ac_codes = [_jpeg_codes(*_AC_L), _jpeg_codes(*_AC_C)]
+
+    def encode_block(bw, zz, pred, tid):
+        diff = int(zz[0]) - pred
+        t = abs(diff).bit_length()
+        code, length = dc_codes[tid][t]
+        bw.put(code, length)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[tid][0xF0]
+                bw.put(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            code, length = ac_codes[tid][(run << 4) | s]
+            bw.put(code, length)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, length = ac_codes[tid][0x00]
+            bw.put(code, length)
+        return int(zz[0])
+
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    entropy = bytearray()
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            entropy += bw.out + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _JpegBitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, (sh, sv) in enumerate(samp):
+            tid = 0 if ci == 0 else 1
+            for by in range(sv):
+                for bx in range(sh):
+                    nat = quantized[ci][my * sv + by, mx * sh + bx].reshape(64)
+                    preds[ci] = encode_block(bw, nat[_ZIGZAG], preds[ci], tid)
+    bw.flush()
+    entropy += bw.out
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    ntab = 1 if gray else 2
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * ntab)
+    for t in range(ntab):
+        out += bytes([t]) + bytes(int(x) for x in qzig[t])
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    tables = [(0, 0, _DC_L), (1, 0, _AC_L)] + ([] if gray else [(0, 1, _DC_C), (1, 1, _AC_C)])
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0 if ci == 0 else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth_test_image(h, w, seed=3):
+    """Low-frequency content + mild noise — the signal class JPEG is
+    designed for, so roundtrip PSNR is a meaningful fidelity check."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = np.stack(
+        [
+            128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            128 + 80 * np.cos(xx / 13.0 + 1.0),
+            128 + 70 * np.sin((xx + yy) / 11.0),
+        ],
+        axis=2,
+    )
+    rng = np.random.RandomState(seed)
+    return np.clip(base + rng.normal(0, 3, size=(h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444():
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    px = _smooth_test_image(41, 53)  # non-multiple-of-8 dims exercise padding/crop
+    payload = _encode_jpeg(px, quality=90, subsample="444")
+    out = decode_image(payload)
+    assert out.shape == (41, 53, 3) and out.dtype == np.uint8
+    assert _psnr(out, px) > 33.0
+
+
+def test_jpeg_roundtrip_420_with_restart_markers():
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    px = _smooth_test_image(35, 49, seed=5)
+    payload = _encode_jpeg(px, quality=85, subsample="420", restart_interval=2)
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload  # DRI + RST0 present
+    out = decode_image(payload)
+    assert out.shape == (35, 49, 3) and out.dtype == np.uint8
+    assert _psnr(out, px) > 28.0
+
+
+def test_jpeg_gray_and_constant_color():
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    gray = _smooth_test_image(24, 24)[:, :, 0]
+    out = decode_image(_encode_jpeg(gray, quality=92))
+    assert out.shape == (24, 24, 1)
+    assert _psnr(out[:, :, 0], gray) > 33.0
+
+    flat = np.full((16, 16, 3), 130, dtype=np.uint8)
+    out = decode_image(_encode_jpeg(flat, quality=75))
+    # constant image has only DC energy; quantization error is tiny
+    assert np.abs(out.astype(int) - 130).max() <= 3
+
+
+def test_jpeg_unsupported_and_truncated():
+    import struct
+
+    import pytest as _pytest
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    # progressive (SOF2) is an honest stub, not a wrong answer
+    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8, 8, 16, 16, 1)
+    with _pytest.raises(NotImplementedError):
+        decode_image(sof2)
+    # truncated entropy stream fails loudly with ValueError
+    px = _smooth_test_image(16, 16)
+    payload = _encode_jpeg(px, quality=90)
+    with _pytest.raises(ValueError):
+        decode_image(payload[: len(payload) // 2])
+
+
+def test_jpeg_flows_through_extract_features(spark):
+    """A JPEG payload takes the real decode branch of extract_features
+    (feature == featurize(decode(payload)), not the hash fallback)."""
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _image_feature,
+        decode_image,
+        extract_features,
+    )
+
+    px = _smooth_test_image(17, 19, seed=9)
+    payload = _encode_jpeg(px, quality=88)
+    row = [(1, "image", "image/jpeg", 19, 17, None, bytearray(payload))]
+    df = spark.createDataFrame(row, MEDIA_SCHEMA)
+    got = extract_features(df, feature_dim=8).collect()[0]
+    expected = _image_feature(decode_image(payload), 8)
+    assert np.allclose(np.array(got.feature, dtype=np.float32), expected)
