@@ -109,6 +109,16 @@ def _q_lpa4(spark, sf_dir):
     return label_propagation(g, iterations=4).state
 
 
+def _q_lpa4_csr(spark, sf_dir):
+    """Same semantics as lpa_4 through the mode='csr' physical plan
+    (partition-local CSR gather-scatter, the north-rule kernel form) —
+    hash-checked against the same unrolled DuckDB oracle."""
+    from okapi_spark.operators.lpa import label_propagation
+
+    g = _graph(spark, sf_dir)
+    return label_propagation(g, iterations=4, mode="csr").state
+
+
 def _q_sssp(spark, sf_dir):
     from okapi_spark.operators.sssp import sssp
 
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "pagerank_10": _q_pagerank10,
         "lpa_4": _q_lpa4,
+        "lpa_4_csr": _q_lpa4_csr,
         "sssp_hops": _q_sssp,
         "mssp_hops": _q_mssp,
         "sybilrank_4": _q_sybilrank,
@@ -1231,6 +1242,7 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         ),
         "pagerank_10": _pagerank_sql(10),
         "lpa_4": _lpa_sql(4),
+        "lpa_4_csr": _lpa_sql(4),
         "sssp_hops": _sssp_sql(6),
         "mssp_hops": _mssp_sql(8),
         "sybilrank_4": _sybilrank_sql(4),

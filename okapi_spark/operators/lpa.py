@@ -33,6 +33,97 @@ from okapi_spark.plans.broadcast import auto_state_broadcast
 from okapi_spark.graph.graph import Graph
 
 
+def _csr_best_labels(
+    edges: DataFrame, state: DataFrame, epoch: int, bcast_slot: list, n_rows: int
+) -> DataFrame:
+    """North-rule kernel: partition-local sparse gather-scatter over
+    CSR-packed adjacency blocks (the layout partitions edges by
+    pmod(xxhash64(dst), P), so every in-edge of a dst lives in ONE
+    partition and the per-dst argmax it emits is FINAL — zero message
+    exchange). The per-partition pack (edges sorted by dst) is built
+    once per call and cached in the Python worker; per superstep the
+    label state arrives as two sorted NumPy arrays via
+    ``sc.broadcast`` and the neighbor-label histogram is a sorted
+    segment-reduce (lexsort + add.reduceat) instead of the JVM hash
+    aggregation — the hash agg touches up-to-|E| distinct (dst, lbl)
+    groups through random access, which is what DRAM-binds the sql
+    plans at 10^8-edge scale (BENCH.md "LPA broadcast floor
+    decomposition"); the sort is sequential-bandwidth-friendly.
+
+    Tie semantics match ``_argmax_label`` exactly: max summed weight,
+    then smallest label. (Weight sums are compared as float64 in both
+    plans.)"""
+    import numpy as np
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _CSR_CACHE, _gather_state_arrays
+
+    spark = state.sparkSession
+    b = spark.sparkContext.broadcast(
+        _gather_state_arrays(state, n_rows=n_rows, value_col="lbl", value_dtype="int64")
+    )
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+    bcast_slot[0] = b
+
+    def kernel(key, edges_pdf):
+        pid = int(key[0])
+        ck = ("lpa", epoch, pid)
+        packed = _CSR_CACHE.get(ck)
+        if packed is None:
+            for k in [k for k in _CSR_CACHE if k[1] != epoch]:
+                _CSR_CACHE.pop(k, None)
+            dst = edges_pdf["dst"].to_numpy()
+            order = np.argsort(dst, kind="stable")
+            dst_sorted = dst[order]
+            src_sorted = edges_pdf["src"].to_numpy()[order]
+            w_sorted = edges_pdf["weight"].to_numpy()[order].astype("float64")
+            # run starts of each dst segment in the sorted layout
+            dst_starts = np.flatnonzero(
+                np.r_[True, dst_sorted[1:] != dst_sorted[:-1]]
+            )
+            packed = (dst_sorted, src_sorted, w_sorted, dst_starts)
+            _CSR_CACHE[ck] = packed
+        dst_sorted, src_sorted, w_sorted, dst_starts = packed
+        if len(dst_sorted) == 0:
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"), "new_lbl": pd.Series([], dtype="int64")}
+            )
+        sid, slbl = b.value
+        lab = slbl[np.searchsorted(sid, src_sorted)]  # gather src labels
+        # histogram: group by (dst, lbl) via sort + segment sums. Both
+        # keys are vertex ids < maxv, so below ~3×10⁹ vertices the pair
+        # packs into one int64 and a single argsort replaces the
+        # two-pass lexsort (~2× less per-superstep sort bandwidth —
+        # this sort is the kernel's hot loop, paid every round because
+        # labels change; the dst-only pack above is paid once).
+        maxv = int(sid[-1]) + 1 if len(sid) else 1
+        if maxv <= (1 << 31):
+            order = np.argsort(dst_sorted * maxv + lab)
+        else:
+            order = np.lexsort((lab, dst_sorted))
+        g_dst = dst_sorted[order]
+        g_lbl = lab[order]
+        g_w = w_sorted[order]
+        grp = np.flatnonzero(np.r_[True, (g_dst[1:] != g_dst[:-1]) | (g_lbl[1:] != g_lbl[:-1])])
+        sums = np.add.reduceat(g_w, grp)
+        grp_dst = g_dst[grp]
+        grp_lbl = g_lbl[grp]
+        # per-dst argmax with min-label tie-break over the group sums
+        dgrp = np.flatnonzero(np.r_[True, grp_dst[1:] != grp_dst[:-1]])
+        wmax = np.maximum.reduceat(sums, dgrp)
+        # broadcast each dst's max back over its groups
+        seg_id = np.zeros(len(sums), dtype=np.int64)
+        seg_id[dgrp[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        is_max = sums == wmax[seg_id]
+        cand = np.where(is_max, grp_lbl, np.iinfo(np.int64).max)
+        best = np.minimum.reduceat(cand, dgrp)
+        return pd.DataFrame({"id": grp_dst[dgrp], "new_lbl": best})
+
+    return edges.groupBy("pid").applyInPandas(kernel, schema="id long, new_lbl long")
+
+
 def _argmax_label(msgs: DataFrame, key: str = "id") -> DataFrame:
     """(key, lbl) with max weight, tie → min label: one hash agg via
     max(struct(w, -lbl)) — no window, no second shuffle."""
@@ -52,6 +143,7 @@ def label_propagation(
     num_partitions: int | None = None,
     state_broadcast: bool | None = None,
     broadcast_threshold: int | None = None,
+    mode: str = "sql",
 ) -> BSPResult:
     """Classic synchronous LPA. Returns state (id long, lbl long).
 
@@ -64,7 +156,15 @@ def label_propagation(
     broadcast — auto-selected vs ``broadcast_threshold``; above it the
     classic two-shuffle plan runs (state shuffles into the src join,
     histogram agg combines map-side).
+
+    ``mode="csr"``: partition-local sparse gather-scatter over
+    CSR-packed adjacency blocks (see ``_csr_best_labels``) — the
+    north-rule physical form. Identical results to the sql plans
+    (parity-tested); same byte gate as the broadcast plan since the
+    label state is NumPy-broadcast each superstep.
     """
+    if mode not in ("sql", "csr"):
+        raise ValueError(f"unknown lpa mode {mode!r}")
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -72,13 +172,32 @@ def label_propagation(
 
     vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
+    if mode == "csr" and not auto_state_broadcast(
+        n, row_bytes=32, rows_override=broadcast_threshold
+    ):
+        raise ValueError(
+            f"mode='csr' broadcasts the full label state each superstep; "
+            f"|V|={n} exceeds the broadcast budget "
+            f"(threshold={broadcast_threshold}). Use the salted shuffle plan "
+            "(state_broadcast=False) at cluster-scale |V|."
+        )
     if state_broadcast is None:
         # byte-based gate (VERDICT r3 #4): label/part state ~32-40B/row
         state_broadcast = auto_state_broadcast(n, row_bytes=40, rows_override=broadcast_threshold)
 
-    salted = not state_broadcast
+    salted = not state_broadcast and mode == "sql"
     restore_fn = None
-    if state_broadcast:
+    if mode == "csr":
+        # pid = hash(dst): the partition owns ALL in-edges of its dsts,
+        # so the kernel's per-dst argmax is final — zero exchange
+        edges = (
+            graph.edges.select("src", "dst", w_col.alias("weight"))
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state0 = vertices.select("id", F.col("id").alias("lbl"))
+    elif state_broadcast:
         # dst-partitioned scatter layout (see Graph.by_dst): labels are
         # broadcast into the src join; groupBy(dst, lbl) and the argmax
         # groupBy(dst) are both partition-complete ⇒ zero exchanges
@@ -125,8 +244,15 @@ def label_propagation(
                 "id", "lbl", F.coalesce("nsalt", F.lit(1)).alias("nsalt")
             )
 
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+
+    epoch = next(_EPOCH_COUNTER)
+    bcast_slot: list = [None]
+
     def superstep(ss: int, state: DataFrame):
-        if state_broadcast:
+        if mode == "csr":
+            best = _csr_best_labels(edges, state, epoch, bcast_slot, n_rows=n)
+        elif state_broadcast:
             labels = F.broadcast(
                 state.select(F.col("id").alias("src"), F.col("lbl").alias("slbl"))
             )
@@ -140,11 +266,12 @@ def label_propagation(
                 .hint("shuffle_hash")
             )
             joined = edges.join(labels, ["src", "salt"])
-        hist = (
-            joined.groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
-            .agg(F.sum("weight").alias("w"))
-        )
-        best = _argmax_label(hist)
+        if mode != "csr":
+            hist = (
+                joined.groupBy(F.col("dst").alias("id"), F.col("slbl").alias("lbl"))
+                .agg(F.sum("weight").alias("w"))
+            )
+            best = _argmax_label(hist)
         keep = [state["nsalt"]] if salted else []
         new_state = state.join(best, "id", "left").select(
             "id",
@@ -200,10 +327,15 @@ def label_propagation(
 
     from contextlib import nullcontext
 
-    with no_adaptive(spark) if state_broadcast else nullcontext():
+    with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
         res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt,
                              store=store, restore_fn=restore_fn)
     res.state = res.state.select("id", "lbl")
+    if bcast_slot[0] is not None:
+        # final state is materialized by run_supersteps; the last
+        # superstep's label broadcast is no longer referenced
+        bcast_slot[0].destroy()
+        bcast_slot[0] = None
     return res
 
 

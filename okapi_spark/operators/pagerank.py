@@ -272,7 +272,12 @@ def pagerank(
 _GATHER_PANDAS_MAX_ROWS = 1_000_000
 
 
-def _gather_state_arrays(state: DataFrame, n_rows: int | None = None) -> tuple:
+def _gather_state_arrays(
+    state: DataFrame,
+    n_rows: int | None = None,
+    value_col: str = "rank",
+    value_dtype: str = "float64",
+) -> tuple:
     """Executor-side state gather (VERDICT r4 "what's wrong" #2): each
     partition packs and SORTS its (id, rank) rows into two raw numpy
     buffers inside ``mapInArrow`` — the driver receives one ~16B/row
@@ -291,33 +296,34 @@ def _gather_state_arrays(state: DataFrame, n_rows: int | None = None) -> tuple:
     import numpy as np
     import pyarrow as pa
 
+    vdtype = np.dtype(value_dtype)
     if n_rows is not None and n_rows <= _GATHER_PANDAS_MAX_ROWS:
-        pdf = state.select("id", "rank").toPandas()
+        pdf = state.select("id", value_col).toPandas()
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids, kind="stable")
-        return ids[order], pdf["rank"].to_numpy()[order]
+        return ids[order], pdf[value_col].to_numpy().astype(vdtype, copy=False)[order]
 
     def pack(batches):
         ids, rks = [], []
         for b in batches:
             ids.append(b.column("id").to_numpy(zero_copy_only=False))
-            rks.append(b.column("rank").to_numpy(zero_copy_only=False))
+            rks.append(b.column(value_col).to_numpy(zero_copy_only=False))
         if ids:
             i = np.concatenate(ids)
             r = np.concatenate(rks)
             o = np.argsort(i, kind="stable")
             yield pa.RecordBatch.from_arrays(
-                [pa.array([i[o].tobytes()]), pa.array([r[o].astype("float64").tobytes()])],
-                names=["ids", "ranks"],
+                [pa.array([i[o].tobytes()]), pa.array([r[o].astype(vdtype).tobytes()])],
+                names=["ids", "vals"],
             )
 
-    blobs = state.select(F.col("id").cast("long").alias("id"), "rank").mapInArrow(
-        pack, "ids binary, ranks binary"
+    blobs = state.select(F.col("id").cast("long").alias("id"), value_col).mapInArrow(
+        pack, "ids binary, vals binary"
     ).collect()
     ids = np.concatenate([np.frombuffer(b.ids, dtype=np.int64) for b in blobs] or [np.array([], dtype=np.int64)])
-    ranks = np.concatenate([np.frombuffer(b.ranks, dtype=np.float64) for b in blobs] or [np.array([], dtype=np.float64)])
+    vals = np.concatenate([np.frombuffer(b.vals, dtype=vdtype) for b in blobs] or [np.array([], dtype=vdtype)])
     order = np.argsort(ids, kind="stable")
-    return ids[order], ranks[order]
+    return ids[order], vals[order]
 
 
 def _csr_messages_bcast(

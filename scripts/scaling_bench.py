@@ -29,7 +29,10 @@ from okapi_spark.sources.synth_graph import generate_edges
 from okapi_spark.graph.graph import Graph
 
 cores = int(sys.argv[1]); n_edges = int(sys.argv[2]); iters = int(sys.argv[3])
-state_broadcast = {"broadcast": True, "shuffle": False}.get(sys.argv[4] if len(sys.argv) > 4 else "auto")
+plan_arg = sys.argv[4] if len(sys.argv) > 4 else "auto"
+state_broadcast = {"broadcast": True, "shuffle": False}.get(plan_arg)
+# plan "csr": the partition-local CSR gather-scatter kernel (lpa/pagerank)
+op_mode = "csr" if plan_arg == "csr" else "sql"
 job = sys.argv[5] if len(sys.argv) > 5 else "pagerank"
 mode = sys.argv[6] if len(sys.argv) > 6 else "threads"
 if mode == "jvms":
@@ -100,7 +103,7 @@ else:
         from okapi_spark.operators.lpa import label_propagation
         t0 = time.time()
         res = label_propagation(g, iterations=iters, num_partitions=cores,
-                                state_broadcast=state_broadcast)
+                                state_broadcast=state_broadcast, mode=op_mode)
     elif job == "spinner":
         # full migration protocol, k=32, threshold=0 so no early
         # convergence — every side runs exactly `iters` rounds
@@ -114,7 +117,7 @@ else:
     else:
         from okapi_spark.operators.pagerank import pagerank
         t0 = time.time()
-        res = pagerank(g, iterations=iters, mode="sql", num_partitions=cores,
+        res = pagerank(g, iterations=iters, mode=op_mode, num_partitions=cores,
                        state_broadcast=state_broadcast)
     res.state.count()
     wall = time.time() - t0

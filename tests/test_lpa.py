@@ -233,3 +233,64 @@ def test_lpa_oscillation_resume_rehydrates_seen(spark, tmp_path):
     a = sorted(tuple(r) for r in ref.state.collect())
     b = sorted(tuple(r) for r in res.state.collect())
     assert a == b
+
+
+def test_lpa_csr_matches_oracle_and_sql_plans(spark):
+    """mode='csr' (partition-local CSR gather-scatter, the north-rule
+    physical form) computes the identical label state as the sql plans
+    and the sequential oracle — weighted and unweighted, across
+    partition counts (partitioning-independence)."""
+    edges = _two_communities()
+    g = Graph.from_edges(toy_edges(spark, edges))
+    sym = edges + [(d, s, w) for s, d, w in edges]
+    for weighted in (True, False):
+        for iters in (1, 3):
+            want = lpa_oracle(sym, iters, weighted=weighted)
+            for nparts in (4, 32):
+                res = label_propagation(
+                    g, iterations=iters, weighted=weighted,
+                    mode="csr", num_partitions=nparts,
+                )
+                got = {r.id: r.lbl for r in res.state.collect()}
+                assert got == want, f"csr weighted={weighted} iters={iters} p={nparts}"
+
+
+def test_lpa_csr_tie_break_and_random_graph_parity(spark):
+    """Exact ties pick the smallest label in BOTH plans; a seeded
+    random graph agrees between csr and sql over several rounds."""
+    # vertex 5 receives weight 2.0 from label-1 side and 2.0 from
+    # label-2 side after round 1 state — tie must go to min label
+    tie_edges = [(1, 5, 2.0), (2, 5, 2.0), (3, 1, 1.0), (4, 2, 1.0)]
+    g = Graph.from_edges(toy_edges(spark, tie_edges))
+    a = label_propagation(g, iterations=2, mode="csr")
+    b = label_propagation(g, iterations=2, mode="sql")
+    assert {r.id: r.lbl for r in a.state.collect()} == {
+        r.id: r.lbl for r in b.state.collect()
+    }
+
+    rng = np.random.RandomState(17)
+    # weights k/4 are exactly binary-representable, so group sums are
+    # exact in BOTH plans regardless of accumulation order — ties and
+    # comparisons cannot be flipped by float rounding
+    redges = [
+        (int(s), int(d), float(w) / 4.0)
+        for s, d, w in zip(
+            rng.randint(0, 60, 400), rng.randint(0, 60, 400), rng.randint(1, 9, 400)
+        )
+        if s != d
+    ]
+    g2 = Graph.from_edges(toy_edges(spark, redges))
+    a2 = label_propagation(g2, iterations=4, mode="csr", num_partitions=8)
+    b2 = label_propagation(g2, iterations=4, mode="sql", num_partitions=32)
+    assert {r.id: r.lbl for r in a2.state.collect()} == {
+        r.id: r.lbl for r in b2.state.collect()
+    }
+
+
+def test_lpa_csr_byte_gate(spark):
+    edges = _two_communities()
+    g = Graph.from_edges(toy_edges(spark, edges))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast budget"):
+        label_propagation(g, iterations=1, mode="csr", broadcast_threshold=3)

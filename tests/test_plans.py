@@ -121,3 +121,30 @@ def test_shuffle_mode_superstep_builds_hash_not_sort(spark):
     assert any("ShuffledHashJoin" in n for n in names), names
     assert not any("SortMergeJoin" in n for n in names), names
     shares.unpersist()
+
+
+def test_lpa_csr_kernel_plan_zero_exchange(spark):
+    """The LPA csr kernel (groupBy(pid).applyInPandas over the
+    pid-partitioned cached edge layout) must add no shuffle exchange:
+    the cache layout already satisfies hashpartitioning(pid), so the
+    per-superstep cost is scan + Arrow ship + NumPy kernel only."""
+    from okapi_spark.operators.lpa import _csr_best_labels
+
+    e = generate_edges(spark, 50_000, 2_000)
+    g = Graph.from_edges(e)
+    edges = (
+        g.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+        .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(8)).cast("int"))
+        .repartition(8, "pid")
+    )
+    edges = edges.persist()
+    edges.count()
+    state = g.vertices().select("id", F.col("id").alias("lbl"))
+    slot = [None]
+    best = _csr_best_labels(edges, state, epoch=-1, bcast_slot=slot, n_rows=2_000)
+    try:
+        assert count_exchanges(best) == 0, "csr kernel plan must not shuffle"
+    finally:
+        if slot[0] is not None:
+            slot[0].destroy()
+        edges.unpersist()
