@@ -33,32 +33,89 @@ from okapi_spark.plans.broadcast import auto_state_broadcast
 from okapi_spark.graph.graph import Graph
 
 
-def _csr_best_labels(
-    edges: DataFrame, state: DataFrame, epoch: int, bcast_slot: list, n_rows: int
-) -> DataFrame:
-    """North-rule kernel: partition-local sparse gather-scatter over
-    CSR-packed adjacency blocks (the layout partitions edges by
-    pmod(xxhash64(dst), P), so every in-edge of a dst lives in ONE
-    partition and the per-dst argmax it emits is FINAL — zero message
-    exchange). The per-partition pack (edges sorted by dst) is built
-    once per call and cached in the Python worker; per superstep the
-    label state arrives as two sorted NumPy arrays via
-    ``sc.broadcast`` and the neighbor-label histogram is a sorted
-    segment-reduce (lexsort + add.reduceat) instead of the JVM hash
-    aggregation — the hash agg touches up-to-|E| distinct (dst, lbl)
-    groups through random access, which is what DRAM-binds the sql
-    plans at 10^8-edge scale (BENCH.md "LPA broadcast floor
-    decomposition"); the sort is sequential-bandwidth-friendly.
+def _lpa_pack(edges_pdf):
+    """Per-partition CSR pack (runs once, inside ``stage_blocks``):
+    edges sorted by dst so the kernel's fused-key sort sees grouped
+    runs. Stable sort preserves the incoming row order within a dst —
+    the same float-accumulation order the unstaged kernel had."""
+    import numpy as np
+
+    dst = edges_pdf["dst"].to_numpy()
+    order = np.argsort(dst, kind="stable")
+    return {
+        "dst": dst[order].astype("int64", copy=False),
+        "src": edges_pdf["src"].to_numpy()[order].astype("int64", copy=False),
+        "w": edges_pdf["weight"].to_numpy()[order].astype("float64", copy=False),
+    }
+
+
+def _lpa_block_argmax(blk, sid, slbl):
+    """Pure-NumPy LPA superstep over one packed block: neighbor-label
+    histogram as a sorted segment-reduce (fused-key sort +
+    add.reduceat) instead of the JVM hash aggregation — the hash agg
+    touches up-to-|E| distinct (dst, lbl) groups through random
+    access, which is what DRAM-binds the sql plans at 10^8-edge scale
+    (BENCH.md "LPA broadcast floor decomposition"); the sort is
+    sequential-bandwidth-friendly.
 
     Tie semantics match ``_argmax_label`` exactly: max summed weight,
     then smallest label. (Weight sums are compared as float64 in both
-    plans.)"""
+    plans.) Returns (dst ids, best labels)."""
     import numpy as np
+
+    dst_sorted, src_sorted, w_sorted = blk["dst"], blk["src"], blk["w"]
+    lab = slbl[np.searchsorted(sid, src_sorted)]  # gather src labels
+    # histogram: group by (dst, lbl) via sort + segment sums. Both
+    # keys are vertex ids < maxv, so below ~3×10⁹ vertices the pair
+    # packs into one int64 and a single argsort replaces the
+    # two-pass lexsort (~2× less per-superstep sort bandwidth —
+    # this sort is the kernel's hot loop, paid every round because
+    # labels change; the dst-sorted pack is paid once at staging).
+    maxv = int(sid[-1]) + 1 if len(sid) else 1
+    if maxv <= (1 << 31):
+        order = np.argsort(dst_sorted * maxv + lab)
+    else:
+        order = np.lexsort((lab, dst_sorted))
+    g_dst = dst_sorted[order]
+    g_lbl = lab[order]
+    g_w = w_sorted[order]
+    grp = np.flatnonzero(np.r_[True, (g_dst[1:] != g_dst[:-1]) | (g_lbl[1:] != g_lbl[:-1])])
+    sums = np.add.reduceat(g_w, grp)
+    grp_dst = g_dst[grp]
+    grp_lbl = g_lbl[grp]
+    # per-dst argmax with min-label tie-break over the group sums
+    dgrp = np.flatnonzero(np.r_[True, grp_dst[1:] != grp_dst[:-1]])
+    wmax = np.maximum.reduceat(sums, dgrp)
+    # broadcast each dst's max back over its groups
+    seg_id = np.zeros(len(sums), dtype=np.int64)
+    seg_id[dgrp[1:]] = 1
+    seg_id = np.cumsum(seg_id)
+    is_max = sums == wmax[seg_id]
+    cand = np.where(is_max, grp_lbl, np.iinfo(np.int64).max)
+    best = np.minimum.reduceat(cand, dgrp)
+    return grp_dst[dgrp], best
+
+
+def _csr_best_labels(
+    spark, num_partitions: int, epoch: int, block_dir: str,
+    state: DataFrame, bcast_slot: list, n_rows: int,
+) -> DataFrame:
+    """North-rule kernel superstep over RESIDENT CSR blocks: the edge
+    layout (pmod(xxhash64(dst), P) — every in-edge of a dst lives in
+    ONE partition, so the per-dst argmax is FINAL, zero message
+    exchange) was packed and staged ONCE by ``csr_blocks.stage_blocks``;
+    each superstep is a P-row ``mapInPandas`` job whose tasks load
+    block i from the worker-global cache (or the page-cached block
+    file) — ZERO edge bytes cross the JVM↔Arrow boundary per superstep,
+    which was the unstaged form's 5-8× absolute-throughput tax
+    (BENCH.md "LPA csr kernel"). The only per-superstep traffic is the
+    label state, shipped as two sorted NumPy arrays via
+    ``sc.broadcast``."""
     import pandas as pd
 
-    from okapi_spark.operators.pagerank import _CSR_CACHE, _gather_state_arrays
+    from okapi_spark.operators.pagerank import _gather_state_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
 
-    spark = state.sparkSession
     b = spark.sparkContext.broadcast(
         _gather_state_arrays(state, n_rows=n_rows, value_col="lbl", value_dtype="int64")
     )
@@ -66,62 +123,17 @@ def _csr_best_labels(
         bcast_slot[0].destroy()
     bcast_slot[0] = b
 
-    def kernel(key, edges_pdf):
-        pid = int(key[0])
-        ck = ("lpa", epoch, pid)
-        packed = _CSR_CACHE.get(ck)
-        if packed is None:
-            for k in [k for k in _CSR_CACHE if k[1] != epoch]:
-                _CSR_CACHE.pop(k, None)
-            dst = edges_pdf["dst"].to_numpy()
-            order = np.argsort(dst, kind="stable")
-            dst_sorted = dst[order]
-            src_sorted = edges_pdf["src"].to_numpy()[order]
-            w_sorted = edges_pdf["weight"].to_numpy()[order].astype("float64")
-            # run starts of each dst segment in the sorted layout
-            dst_starts = np.flatnonzero(
-                np.r_[True, dst_sorted[1:] != dst_sorted[:-1]]
-            )
-            packed = (dst_sorted, src_sorted, w_sorted, dst_starts)
-            _CSR_CACHE[ck] = packed
-        dst_sorted, src_sorted, w_sorted, dst_starts = packed
-        if len(dst_sorted) == 0:
-            return pd.DataFrame(
-                {"id": pd.Series([], dtype="int64"), "new_lbl": pd.Series([], dtype="int64")}
-            )
-        sid, slbl = b.value
-        lab = slbl[np.searchsorted(sid, src_sorted)]  # gather src labels
-        # histogram: group by (dst, lbl) via sort + segment sums. Both
-        # keys are vertex ids < maxv, so below ~3×10⁹ vertices the pair
-        # packs into one int64 and a single argsort replaces the
-        # two-pass lexsort (~2× less per-superstep sort bandwidth —
-        # this sort is the kernel's hot loop, paid every round because
-        # labels change; the dst-only pack above is paid once).
-        maxv = int(sid[-1]) + 1 if len(sid) else 1
-        if maxv <= (1 << 31):
-            order = np.argsort(dst_sorted * maxv + lab)
-        else:
-            order = np.lexsort((lab, dst_sorted))
-        g_dst = dst_sorted[order]
-        g_lbl = lab[order]
-        g_w = w_sorted[order]
-        grp = np.flatnonzero(np.r_[True, (g_dst[1:] != g_dst[:-1]) | (g_lbl[1:] != g_lbl[:-1])])
-        sums = np.add.reduceat(g_w, grp)
-        grp_dst = g_dst[grp]
-        grp_lbl = g_lbl[grp]
-        # per-dst argmax with min-label tie-break over the group sums
-        dgrp = np.flatnonzero(np.r_[True, grp_dst[1:] != grp_dst[:-1]])
-        wmax = np.maximum.reduceat(sums, dgrp)
-        # broadcast each dst's max back over its groups
-        seg_id = np.zeros(len(sums), dtype=np.int64)
-        seg_id[dgrp[1:]] = 1
-        seg_id = np.cumsum(seg_id)
-        is_max = sums == wmax[seg_id]
-        cand = np.where(is_max, grp_lbl, np.iinfo(np.int64).max)
-        best = np.minimum.reduceat(cand, dgrp)
-        return pd.DataFrame({"id": grp_dst[dgrp], "new_lbl": best})
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("lpa", epoch, int(pid), block_dir)
+                if blk is None or len(blk["dst"]) == 0:
+                    continue
+                sid, slbl = b.value
+                ids, best = _lpa_block_argmax(blk, sid, slbl)
+                yield pd.DataFrame({"id": ids, "new_lbl": best})
 
-    return edges.groupBy("pid").applyInPandas(kernel, schema="id long, new_lbl long")
+    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="id long, new_lbl long")
 
 
 def _argmax_label(msgs: DataFrame, key: str = "id") -> DataFrame:
@@ -185,17 +197,39 @@ def label_propagation(
         # byte-based gate (VERDICT r3 #4): label/part state ~32-40B/row
         state_broadcast = auto_state_broadcast(n, row_bytes=40, rows_override=broadcast_threshold)
 
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+
+    epoch = next(_EPOCH_COUNTER)
     salted = not state_broadcast and mode == "sql"
     restore_fn = None
+    block_slot: list = [None]  # staged block_dir, set on first superstep
     if mode == "csr":
         # pid = hash(dst): the partition owns ALL in-edges of its dsts,
-        # so the kernel's per-dst argmax is final — zero exchange
-        edges = (
+        # so the kernel's per-dst argmax is final — zero exchange. The
+        # packed blocks are staged to disk ONCE (one pass over the
+        # edges, same I/O shape as a shuffle map write); supersteps
+        # never scan the edge table again (csr_blocks module doc).
+        # Staging is LAZY (first superstep) so re-invoking a completed
+        # checkpointed run still resumes instantly without an edge pass.
+        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+
+        edges_by_pid = (
             graph.edges.select("src", "dst", w_col.alias("weight"))
             .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
             .repartition(num_partitions, "pid")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        edges_by_pid, num_partitions, _lpa_pack, "lpa", epoch, block_slot[0]
+                    )
+                n_edges = graph.num_edges()
+                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+            return block_slot[0]
+
         state0 = vertices.select("id", F.col("id").alias("lbl"))
     elif state_broadcast:
         # dst-partitioned scatter layout (see Graph.by_dst): labels are
@@ -244,14 +278,13 @@ def label_propagation(
                 "id", "lbl", F.coalesce("nsalt", F.lit(1)).alias("nsalt")
             )
 
-    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
-
-    epoch = next(_EPOCH_COUNTER)
     bcast_slot: list = [None]
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
-            best = _csr_best_labels(edges, state, epoch, bcast_slot, n_rows=n)
+            best = _csr_best_labels(
+                spark, num_partitions, epoch, ensure_staged(), state, bcast_slot, n_rows=n
+            )
         elif state_broadcast:
             labels = F.broadcast(
                 state.select(F.col("id").alias("src"), F.col("lbl").alias("slbl"))
@@ -327,9 +360,17 @@ def label_propagation(
 
     from contextlib import nullcontext
 
-    with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
-        res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt,
-                             store=store, restore_fn=restore_fn)
+    try:
+        with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
+            res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt,
+                                 store=store, restore_fn=restore_fn)
+    finally:
+        if block_slot[0] is not None:
+            # state is localCheckpoint/parquet-materialized every
+            # superstep, so nothing re-references the block files
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
     res.state = res.state.select("id", "lbl")
     if bcast_slot[0] is not None:
         # final state is materialized by run_supersteps; the last

@@ -118,11 +118,34 @@ def pagerank(
             f"|V|={n} exceeds the broadcast budget (threshold={broadcast_threshold}). "
             "Use mode='sql' (auto-selects the shuffle plan at this scale)."
         )
+    epoch = next(_EPOCH_COUNTER)  # unique CSR cache namespace per call
+    block_slot: list = [None]  # staged block_dir, set on first superstep
     if mode == "csr":
-        shares = shares.select("src", "dst", "share").withColumn(
-            "pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int")
+        # pack + stage the dst-partitioned share blocks ONCE (one pass
+        # over the edges, same I/O shape as a shuffle map write);
+        # supersteps never scan or re-ship the edge table again
+        # (plans.csr_blocks module doc). Staging is LAZY (first
+        # superstep) so re-invoking a completed checkpointed run still
+        # resumes instantly without an edge pass.
+        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+
+        shares_by_pid = (
+            shares.select("src", "dst", "share")
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
         )
-        shares = shares.repartition(num_partitions, "pid").persist(StorageLevel.MEMORY_AND_DISK)
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        shares_by_pid, num_partitions, _pr_pack, "pr", epoch, block_slot[0]
+                    )
+                assert staged == graph.num_edges(), (
+                    f"staged {staged} share rows != |E|={graph.num_edges()}"
+                )
+            return block_slot[0]
     elif mode == "csr_cogroup":
         shares = shares.select("src", "dst", "share").withColumn(
             "pid", F.pmod(F.xxhash64("src"), F.lit(num_partitions)).cast("int")
@@ -162,9 +185,11 @@ def pagerank(
             F.col("src").alias("id"), nsalt_expr.alias("nsalt")
         )
     # materialize once — AQE off for the cache fill (see lpa.py: Spark
-    # 4.1.2 TableCacheQueryStageExec recache race on this plan shape)
-    with no_adaptive(graph.edges.sparkSession):
-        shares.count()
+    # 4.1.2 TableCacheQueryStageExec recache race on this plan shape).
+    # mode='csr' already materialized through the staging pass.
+    if mode != "csr":
+        with no_adaptive(graph.edges.sparkSession):
+            shares.count()
 
     restore_fn = None
     if salted:
@@ -188,12 +213,13 @@ def pagerank(
     else:
         state0 = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
-    epoch = next(_EPOCH_COUNTER)  # unique CSR cache namespace per call
     bcast_slot: list = [None]  # previous superstep's rank broadcast
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
-            msgs = _csr_messages_bcast(shares, state, epoch, bcast_slot, n_rows=n)
+            msgs = _csr_messages_bcast(
+                spark, num_partitions, epoch, ensure_staged(), state, bcast_slot, n_rows=n
+            )
         elif mode == "csr_cogroup":
             msgs = _csr_messages(shares, state, num_partitions, epoch)
         elif state_broadcast:
@@ -245,21 +271,29 @@ def pagerank(
     from contextlib import nullcontext
 
     aqe_off = no_adaptive(spark) if (mode != "sql" or state_broadcast) else nullcontext()
-    with aqe_off:
-        if iterations is not None:
-            result = run_supersteps(
-                state0, superstep, max_supersteps=iterations, halt_fn=None, store=store,
-                restore_fn=restore_fn,
-            )
-        else:
-            result = run_supersteps(
-                state0,
-                superstep,
-                max_supersteps=max_supersteps,
-                halt_fn=lambda ss, m: m["max_delta"] < tol,
-                store=store,
-                restore_fn=restore_fn,
-            )
+    try:
+        with aqe_off:
+            if iterations is not None:
+                result = run_supersteps(
+                    state0, superstep, max_supersteps=iterations, halt_fn=None, store=store,
+                    restore_fn=restore_fn,
+                )
+            else:
+                result = run_supersteps(
+                    state0,
+                    superstep,
+                    max_supersteps=max_supersteps,
+                    halt_fn=lambda ss, m: m["max_delta"] < tol,
+                    store=store,
+                    restore_fn=restore_fn,
+                )
+    finally:
+        if block_slot[0] is not None:
+            # state is localCheckpoint/parquet-materialized every
+            # superstep, so nothing re-references the block files
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
     result.state = result.state.select("id", "rank")
     if bcast_slot[0] is not None:
         # result.state is materialized by run_supersteps, so the last
@@ -327,15 +361,20 @@ def _gather_state_arrays(
 
 
 def _csr_messages_bcast(
-    shares: DataFrame, state: DataFrame, epoch: int, bcast_slot: list | None = None,
-    n_rows: int | None = None,
+    spark, num_partitions: int, epoch: int, block_dir: str,
+    state: DataFrame, bcast_slot: list | None = None, n_rows: int | None = None,
 ) -> DataFrame:
-    """dst-partitioned CSR gather-scatter with numpy-broadcast state:
-    the partition owns every in-edge of its dst's, so the per-dst sums
-    it emits are FINAL — no message shuffle at all."""
-    import numpy as np
+    """dst-partitioned CSR gather-scatter over RESIDENT staged blocks
+    with numpy-broadcast state: the partition owns every in-edge of
+    its dst's, so the per-dst sums it emits are FINAL — no message
+    shuffle at all. The packed blocks were staged once by
+    ``csr_blocks.stage_blocks``; each superstep is a P-row
+    ``mapInPandas`` job that loads block i from the worker-global
+    cache (or the page-cached block file) — ZERO edge bytes cross the
+    JVM↔Arrow boundary per superstep. The only per-superstep traffic
+    is the (id, rank) state shipped via ``sc.broadcast``."""
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
 
-    spark = state.sparkSession
     b = spark.sparkContext.broadcast(_gather_state_arrays(state, n_rows=n_rows))
     if bcast_slot is not None:
         if bcast_slot[0] is not None:
@@ -344,29 +383,43 @@ def _csr_messages_bcast(
             bcast_slot[0].destroy()
         bcast_slot[0] = b
 
-    def kernel(key, edges_pdf):
-        pid = int(key[0])
-        ck = ("bcast", epoch, pid)
-        packed = _CSR_CACHE.get(ck)
-        if packed is None:
-            # prune packs from older epochs (finished pagerank() calls)
-            for k in [k for k in _CSR_CACHE if k[1] != epoch]:
-                _CSR_CACHE.pop(k, None)
-            src = edges_pdf["src"].to_numpy()
-            dst = edges_pdf["dst"].to_numpy()
-            share = edges_pdf["share"].to_numpy()
-            uniq_dst, inv = np.unique(dst, return_inverse=True)
-            packed = (src, share, uniq_dst, inv)
-            _CSR_CACHE[ck] = packed
-        src, share, uniq_dst, inv = packed
-        rid, rv = b.value
-        pos = np.searchsorted(rid, src)
-        contrib = rv[pos] * share
-        out = np.zeros(len(uniq_dst), dtype="float64")
-        np.add.at(out, inv, contrib)
-        return pd.DataFrame({"dst": uniq_dst, "msum": out})
+    def kernel(pdf_iter):
+        import numpy as np
 
-    return shares.groupBy("pid").applyInPandas(kernel, schema="dst long, msum double")
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("pr", epoch, int(pid), block_dir)
+                if blk is None or len(blk["src"]) == 0:
+                    continue
+                rid, rv = b.value
+                pos = np.searchsorted(rid, blk["src"])
+                contrib = rv[pos] * blk["share"]
+                # dst-sorted layout (staged once) ⇒ per-dst sums are a
+                # sequential segment-reduce, not a random-access scatter
+                out = np.add.reduceat(contrib, blk["starts"])
+                yield pd.DataFrame({"dst": blk["uniq_dst"], "msum": out})
+
+    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="dst long, msum double")
+
+
+def _pr_pack(edges_pdf):
+    """Per-partition pack for the staged csr blocks (runs once, inside
+    ``stage_blocks``): edges sorted by dst with segment starts, so the
+    kernel's per-dst sum is ``np.add.reduceat`` over a contiguous run —
+    sequential-bandwidth-friendly, vs the unstaged kernel's
+    ``np.add.at`` random-access scatter."""
+    import numpy as np
+
+    dst = edges_pdf["dst"].to_numpy()
+    order = np.argsort(dst, kind="stable")
+    dst_sorted = dst[order].astype("int64", copy=False)
+    starts = np.flatnonzero(np.r_[True, dst_sorted[1:] != dst_sorted[:-1]])
+    return {
+        "src": edges_pdf["src"].to_numpy()[order].astype("int64", copy=False),
+        "share": edges_pdf["share"].to_numpy()[order].astype("float64", copy=False),
+        "uniq_dst": dst_sorted[starts],
+        "starts": starts.astype("int64", copy=False),
+    }
 
 
 def _csr_messages(shares: DataFrame, state: DataFrame, p: int, epoch: int) -> DataFrame:

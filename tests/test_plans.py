@@ -123,12 +123,15 @@ def test_shuffle_mode_superstep_builds_hash_not_sort(spark):
     shares.unpersist()
 
 
-def test_lpa_csr_kernel_plan_zero_exchange(spark):
-    """The LPA csr kernel (groupBy(pid).applyInPandas over the
-    pid-partitioned cached edge layout) must add no shuffle exchange:
-    the cache layout already satisfies hashpartitioning(pid), so the
-    per-superstep cost is scan + Arrow ship + NumPy kernel only."""
-    from okapi_spark.operators.lpa import _csr_best_labels
+def test_lpa_csr_kernel_plan_zero_exchange_zero_edge_scan(spark):
+    """The staged LPA csr superstep must (a) add no shuffle exchange
+    and (b) never rescan the edge table: after ``stage_blocks`` the
+    per-superstep job is a P-row Range → mapInPandas — the edge bytes
+    live in worker-cached / page-cached block files, not in the plan."""
+    from okapi_spark.operators.lpa import _csr_best_labels, _lpa_pack
+    from okapi_spark.plans.csr_blocks import (
+        cleanup_blocks, default_block_dir, stage_blocks,
+    )
 
     e = generate_edges(spark, 50_000, 2_000)
     g = Graph.from_edges(e)
@@ -137,14 +140,23 @@ def test_lpa_csr_kernel_plan_zero_exchange(spark):
         .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(8)).cast("int"))
         .repartition(8, "pid")
     )
-    edges = edges.persist()
-    edges.count()
+    block_dir = default_block_dir(spark)
+    staged = stage_blocks(edges, 8, _lpa_pack, "lpa", epoch=-1, block_dir=block_dir)
+    assert staged == e.count()
     state = g.vertices().select("id", F.col("id").alias("lbl"))
     slot = [None]
-    best = _csr_best_labels(edges, state, epoch=-1, bcast_slot=slot, n_rows=2_000)
+    best = _csr_best_labels(
+        spark, 8, epoch=-1, block_dir=block_dir, state=state, bcast_slot=slot, n_rows=2_000
+    )
     try:
-        assert count_exchanges(best) == 0, "csr kernel plan must not shuffle"
+        assert count_exchanges(best) == 0, "csr superstep plan must not shuffle"
+        plan = best._jdf.queryExecution().executedPlan().toString()
+        assert "Range" in plan, plan
+        for scan_marker in ("InMemoryTableScan", "Scan parquet", "Scan ExistingRDD"):
+            assert scan_marker not in plan, f"superstep rescans edges:\n{plan}"
+        # and it computes the right thing from the staged blocks
+        assert best.count() > 0
     finally:
         if slot[0] is not None:
             slot[0].destroy()
-        edges.unpersist()
+        cleanup_blocks(block_dir)
