@@ -94,6 +94,16 @@ def _q_connected_components(spark, sf_dir):
     return connected_components(g).state
 
 
+def _q_connected_components_csr(spark, sf_dir):
+    """Same HashMin fixpoint through the mode='csr' physical plan
+    (resident staged CSR blocks, plans/csr_blocks.py) — hash-checked
+    against the same recursive-CTE DuckDB oracle."""
+    from okapi_spark.operators.components import connected_components
+
+    g = _graph(spark, sf_dir)
+    return connected_components(g, mode="csr").state
+
+
 def _q_pagerank10(spark, sf_dir):
     from okapi_spark.operators.pagerank import pagerank
 
@@ -125,6 +135,16 @@ def _q_sssp(spark, sf_dir):
     g = _graph(spark, sf_dir)
     src = g.edges.agg(F.min("src")).collect()[0][0]
     return sssp(g, int(src)).state
+
+
+def _q_sssp_csr(spark, sf_dir):
+    """Same relaxation fixpoint through the mode='csr' physical plan
+    (resident staged CSR blocks) — same unrolled DuckDB oracle."""
+    from okapi_spark.operators.sssp import sssp
+
+    g = _graph(spark, sf_dir)
+    src = g.edges.agg(F.min("src")).collect()[0][0]
+    return sssp(g, int(src), mode="csr").state
 
 
 def _q_jaccard(spark, sf_dir):
@@ -519,10 +539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": _q_triangle_total,
         "triangle_per_vertex": _q_triangle_per_vertex,
         "connected_components": _q_connected_components,
+        "connected_components_csr": _q_connected_components_csr,
         "pagerank_10": _q_pagerank10,
         "lpa_4": _q_lpa4,
         "lpa_4_csr": _q_lpa4_csr,
         "sssp_hops": _q_sssp,
+        "sssp_hops_csr": _q_sssp_csr,
         "mssp_hops": _q_mssp,
         "sybilrank_4": _q_sybilrank,
         "bmatching_3": _q_bmatching,
@@ -1240,10 +1262,20 @@ cc(id, comp) AS (
 )
 SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         ),
+        "connected_components_csr": (
+            "WITH RECURSIVE " + _EDGES_CTE + """,
+cc(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id AND cc.comp < e.dst
+)
+SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
+        ),
         "pagerank_10": _pagerank_sql(10),
         "lpa_4": _lpa_sql(4),
         "lpa_4_csr": _lpa_sql(4),
         "sssp_hops": _sssp_sql(6),
+        "sssp_hops_csr": _sssp_sql(6),
         "mssp_hops": _mssp_sql(8),
         "sybilrank_4": _sybilrank_sql(4),
         "bmatching_3": _bmatching_sql(3),

@@ -37,6 +37,67 @@ from okapi_spark.plans.broadcast import auto_state_broadcast
 BROADCAST_FRONTIER_ROWS = 2_000_000
 
 
+def _cc_pack(edges_pdf):
+    """Per-partition pack for the staged csr blocks: edges sorted by
+    dst so the kernel's per-dst min is a segment-reduce."""
+    import numpy as np
+
+    dst = edges_pdf["dst"].to_numpy()
+    order = np.argsort(dst, kind="stable")
+    return {
+        "dst": dst[order].astype("int64", copy=False),
+        "src": edges_pdf["src"].to_numpy()[order].astype("int64", copy=False),
+    }
+
+
+def _csr_min_comp(
+    spark, num_partitions: int, epoch: int, block_dir: str,
+    frontier: DataFrame, bcast_slot: list, n_rows: int,
+) -> DataFrame:
+    """HashMin scatter over RESIDENT staged CSR blocks (same design as
+    lpa/pagerank mode='csr', plans/csr_blocks.py): the SHRINKING
+    changed-frontier ships as two sorted NumPy arrays via
+    ``sc.broadcast``; each superstep is a P-row mapInPandas job that
+    memmaps its dst-sorted block, gathers the frontier comps into the
+    edges whose src IS on the frontier (sparse searchsorted gather —
+    send-on-change falls out of the mask), and emits per-dst minima
+    via ``np.minimum.reduceat``. Zero exchange, zero edge rescan."""
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _gather_state_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    b = spark.sparkContext.broadcast(
+        _gather_state_arrays(frontier, n_rows=n_rows, value_col="comp", value_dtype="int64")
+    )
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+    bcast_slot[0] = b
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("cc", epoch, int(pid), block_dir)
+                sid, scomp = b.value
+                if blk is None or len(blk["dst"]) == 0 or len(sid) == 0:
+                    continue
+                src, dst = blk["src"], blk["dst"]
+                pos = np.searchsorted(sid, src)
+                np.clip(pos, 0, len(sid) - 1, out=pos)
+                valid = sid[pos] == src  # src on the changed frontier
+                if not valid.any():
+                    continue
+                dst_v = dst[valid]  # dst-sorted layout survives the mask
+                comp_v = scomp[pos[valid]]
+                starts = np.flatnonzero(np.r_[True, dst_v[1:] != dst_v[:-1]])
+                cand = np.minimum.reduceat(comp_v, starts)
+                yield pd.DataFrame({"id": dst_v[starts], "cand": cand})
+
+    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="id long, cand long")
+
+
 def connected_components(
     graph: Graph,
     max_supersteps: int = 200,
@@ -45,6 +106,7 @@ def connected_components(
     state_broadcast: bool | None = None,
     broadcast_threshold: int | None = None,
     frontier_broadcast_rows: int | None = None,
+    mode: str = "sql",
 ) -> BSPResult:
     """Returns BSPResult state (id long, comp long).
 
@@ -54,7 +116,14 @@ def connected_components(
     still broadcast adaptively once its row count (known exactly from
     the previous superstep's changed-metric) drops below
     ``BROADCAST_FRONTIER_ROWS``.
+
+    ``mode="csr"``: HashMin over resident staged CSR blocks (see
+    ``_csr_min_comp``) — identical fixpoint, parity-tested; gated by
+    the same broadcast byte budget since the round-0 frontier is |V|
+    rows.
     """
+    if mode not in ("sql", "csr"):
+        raise ValueError(f"unknown connected_components mode {mode!r}")
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -68,9 +137,46 @@ def connected_components(
     if frontier_broadcast_rows is None:
         frontier_broadcast_rows = BROADCAST_FRONTIER_ROWS
 
+    if mode == "csr" and not auto_state_broadcast(
+        n, row_bytes=32, rows_override=broadcast_threshold
+    ):
+        raise ValueError(
+            f"mode='csr' broadcasts the changed frontier each superstep and the "
+            f"round-0 frontier is |V|={n} rows, exceeding the broadcast budget "
+            f"(threshold={broadcast_threshold}). Use the salted shuffle plan "
+            "(state_broadcast=False) at cluster-scale |V|."
+        )
+
     n_edges = graph.num_edges()
     restore_fn = None
-    if state_broadcast:
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+
+    epoch = next(_EPOCH_COUNTER)
+    block_slot: list = [None]
+    bcast_slot: list = [None]
+    if mode == "csr":
+        # dst-hashed block layout; staged lazily on first superstep
+        # (plans/csr_blocks.py — see lpa.py mode='csr' for the design)
+        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+
+        edges_by_pid = (
+            graph.edges.select("src", "dst")
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
+        )
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        edges_by_pid, num_partitions, _cc_pack, "cc", epoch, block_slot[0]
+                    )
+                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+            return block_slot[0]
+
+        state0 = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
+    elif state_broadcast:
         # dst-partitioned scatter layout: frontier broadcast + partition-
         # complete min-agg ⇒ zero shuffle exchanges per superstep
         edges = graph.by_dst(num_partitions).select("src", "dst")
@@ -118,7 +224,13 @@ def connected_components(
     last_changed = [n]
 
     def superstep(ss: int, state: DataFrame):
-        if state_broadcast or last_changed[0] <= frontier_broadcast_rows:
+        if mode == "csr":
+            msgs = _csr_min_comp(
+                spark, num_partitions, epoch, ensure_staged(),
+                state.filter("changed").select("id", "comp"),
+                bcast_slot, n_rows=last_changed[0],
+            )
+        elif state_broadcast or last_changed[0] <= frontier_broadcast_rows:
             frontier = F.broadcast(
                 state.filter("changed").select(F.col("id").alias("src"), "comp")
             )
@@ -134,8 +246,9 @@ def connected_components(
                 state.filter("changed"), "src", "comp"
             ).hint("shuffle_hash")
             joined = edges.join(frontier, ["src", "salt"])
-        msgs = joined.groupBy(F.col("dst").alias("id")).agg(F.min("comp").alias("cand"))
-        keep = [state["nsalt"]] if not state_broadcast else []
+        if mode != "csr":
+            msgs = joined.groupBy(F.col("dst").alias("id")).agg(F.min("comp").alias("cand"))
+        keep = [state["nsalt"]] if (mode == "sql" and not state_broadcast) else []
         new_state = state.join(msgs, "id", "left").select(
             "id",
             F.least("comp", F.coalesce("cand", "comp")).alias("comp"),
@@ -152,14 +265,23 @@ def connected_components(
 
     from contextlib import nullcontext
 
-    with no_adaptive(spark) if state_broadcast else nullcontext():
-        res = run_supersteps(
-            state0,
-            superstep,
-            max_supersteps=max_supersteps,
-            halt_fn=lambda ss, m: m["changed"] == 0,
-            store=store,
-            restore_fn=restore_fn,
-        )
+    try:
+        with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
+            res = run_supersteps(
+                state0,
+                superstep,
+                max_supersteps=max_supersteps,
+                halt_fn=lambda ss, m: m["changed"] == 0,
+                store=store,
+                restore_fn=restore_fn,
+            )
+    finally:
+        if block_slot[0] is not None:
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
     res.state = res.state.select("id", "comp")
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+        bcast_slot[0] = None
     return res

@@ -23,28 +23,135 @@ from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
 from okapi_spark.graph.graph import Graph
 
 
+def _sssp_csr_cand(
+    spark, num_partitions: int, epoch: int, block_dir: str,
+    frontier: DataFrame, bcast_slot: list, n_rows: int,
+) -> DataFrame:
+    """Relaxation scatter over RESIDENT staged CSR blocks (same design
+    as lpa/pagerank/components mode='csr', plans/csr_blocks.py): the
+    changed-frontier (id, dist) ships as two sorted NumPy arrays via
+    ``sc.broadcast``; each superstep is a P-row mapInPandas job that
+    memmaps its dst-sorted block, gathers frontier distances into the
+    edges whose src is on the frontier (sparse searchsorted gather —
+    send-on-improvement falls out of the mask), adds the edge weight,
+    and emits per-dst minima via ``np.minimum.reduceat``. Zero
+    exchange, zero edge rescan."""
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _gather_state_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    b = spark.sparkContext.broadcast(
+        _gather_state_arrays(frontier, n_rows=n_rows, value_col="dist", value_dtype="float64")
+    )
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+    bcast_slot[0] = b
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("sssp", epoch, int(pid), block_dir)
+                sid, sdist = b.value
+                if blk is None or len(blk["dst"]) == 0 or len(sid) == 0:
+                    continue
+                src, dst = blk["src"], blk["dst"]
+                pos = np.searchsorted(sid, src)
+                np.clip(pos, 0, len(sid) - 1, out=pos)
+                valid = sid[pos] == src  # src on the changed frontier
+                if not valid.any():
+                    continue
+                dst_v = dst[valid]  # dst-sorted layout survives the mask
+                cand_v = sdist[pos[valid]] + blk["w"][valid]
+                starts = np.flatnonzero(np.r_[True, dst_v[1:] != dst_v[:-1]])
+                cand = np.minimum.reduceat(cand_v, starts)
+                yield pd.DataFrame({"id": dst_v[starts], "cand": cand})
+
+    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="id long, cand double")
+
+
 def sssp(
     graph: Graph,
     source: int,
     max_supersteps: int = 200,
     store: CheckpointStore | None = None,
+    mode: str = "sql",
+    num_partitions: int | None = None,
 ) -> BSPResult:
     """Returns state (id long, dist double) — unreachable vertices absent
-    (the reference leaves them at ∞; filter-out is the relational view)."""
+    (the reference leaves them at ∞; filter-out is the relational view).
+
+    ``mode="csr"``: relaxation over resident staged CSR blocks (see
+    ``_sssp_csr_cand``) — identical fixpoint, parity-tested."""
+    if mode not in ("sql", "csr"):
+        raise ValueError(f"unknown sssp mode {mode!r}")
     spark = graph.edges.sparkSession
     edges = graph.edges
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+
+    epoch = next(_EPOCH_COUNTER)
+    block_slot: list = [None]
+    bcast_slot: list = [None]
+    last_changed = [1]  # frontier row count (source only at round 0)
+    if mode == "csr":
+        # the worst-case frontier is |V| rows broadcast to every
+        # executor — same byte gate as the other csr operators
+        from okapi_spark.plans.broadcast import auto_state_broadcast
+        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+
+        n = graph.num_vertices()
+        if not auto_state_broadcast(n, row_bytes=32):
+            raise ValueError(
+                f"mode='csr' broadcasts the changed frontier each superstep and "
+                f"the worst-case frontier is |V|={n} rows, exceeding the "
+                "broadcast budget. Use mode='sql' at cluster-scale |V|."
+            )
+        # dst-sorted (src, w) blocks; _lpa_pack already packs exactly
+        # this layout (staged lazily on first superstep)
+        from okapi_spark.operators.lpa import _lpa_pack
+
+        edges_by_pid = (
+            edges.select("src", "dst", F.col("weight"))
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
+        )
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                from okapi_spark.bsp import no_adaptive
+
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        edges_by_pid, num_partitions, _lpa_pack, "sssp", epoch, block_slot[0]
+                    )
+                n_edges = graph.num_edges()
+                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+            return block_slot[0]
 
     state0 = spark.createDataFrame(
         [(int(source), 0.0, True)], "id long, dist double, changed boolean"
     )
 
     def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
-        frontier = state.filter("changed").select(F.col("id").alias("src"), "dist")
-        cand = (
-            edges.join(frontier, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
-        )
+        if mode == "csr":
+            cand = _sssp_csr_cand(
+                spark, num_partitions, epoch, ensure_staged(),
+                state.filter("changed").select("id", "dist"),
+                bcast_slot, n_rows=last_changed[0],
+            )
+        else:
+            frontier = state.filter("changed").select(F.col("id").alias("src"), "dist")
+            cand = (
+                edges.join(frontier, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            )
         merged = (
             state.select("id", "dist").join(cand, "id", "full_outer")
             .select(
@@ -58,15 +165,26 @@ def sssp(
         )
 
         def post(materialized: DataFrame) -> dict:
-            return {"changed": materialized.filter("changed").count()}
+            n_changed = materialized.filter("changed").count()
+            last_changed[0] = n_changed
+            return {"changed": n_changed}
 
         return merged, post
 
-    res = run_supersteps(
-        state0, superstep, max_supersteps=max_supersteps,
-        halt_fn=lambda ss, m: m["changed"] == 0, store=store,
-    )
+    try:
+        res = run_supersteps(
+            state0, superstep, max_supersteps=max_supersteps,
+            halt_fn=lambda ss, m: m["changed"] == 0, store=store,
+        )
+    finally:
+        if block_slot[0] is not None:
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
     res.state = res.state.select("id", "dist")
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+        bcast_slot[0] = None
     return res
 
 

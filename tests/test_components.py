@@ -70,3 +70,30 @@ def test_cc_random_graph(spark):
     got = {r.id: r.comp for r in res.state.collect()}
     want = components_oracle([(s, d) for s, d, _ in edges] + [(d, s) for s, d, _ in edges])
     assert got == want
+
+
+def test_cc_csr_matches_oracle_and_sql_plans(spark):
+    """mode='csr' (HashMin over resident staged CSR blocks) reaches the
+    identical fixpoint as the sql plans and the union-find oracle,
+    across partition counts (partitioning independence)."""
+    rng = np.random.default_rng(29)
+    edges = [
+        (int(rng.integers(1, 250)), int(rng.integers(1, 250)), 1.0) for _ in range(300)
+    ]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    edges += [(900, 901, 1.0), (901, 902, 1.0)]  # separate component
+    g = Graph.from_edges(toy_edges(spark, edges))
+    want = components_oracle([(s, d) for s, d, _ in edges] + [(d, s) for s, d, _ in edges])
+    for nparts in (4, 32):
+        res = connected_components(g, mode="csr", num_partitions=nparts)
+        assert res.converged
+        got = {r.id: r.comp for r in res.state.collect()}
+        assert got == want, f"csr p={nparts}"
+
+
+def test_cc_csr_byte_gate(spark):
+    import pytest as _pytest
+
+    g = Graph.from_edges(toy_edges(spark, FIVE_VERTEX))
+    with _pytest.raises(ValueError, match="broadcast budget"):
+        connected_components(g, mode="csr", broadcast_threshold=2)

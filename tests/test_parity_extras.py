@@ -64,3 +64,26 @@ def test_aux_readers(spark, tmp_path):
     (tmp_path / "ids.txt").write_text("7\n9\n")
     ids = read_id_list(spark, str(tmp_path / "ids.txt"))
     assert sorted(r.id for r in ids.collect()) == [7, 9]
+
+
+def test_sssp_csr_matches_oracle_and_sql(spark):
+    """mode='csr' (relaxation over resident staged CSR blocks) reaches
+    the identical distances as the sql plan and the Dijkstra oracle,
+    across partition counts; unreached vertices stay absent."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    edges = [
+        (int(s), int(d), float(w) / 4.0)
+        for s, d, w in zip(
+            rng.randint(0, 150, 500), rng.randint(0, 150, 500), rng.randint(1, 9, 500)
+        )
+        if s != d
+    ]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    want = sssp_oracle(edges + [(d, s, w) for s, d, w in edges], 0)
+    sql = {r.id: r.dist for r in sssp(g, 0, mode="sql").state.collect()}
+    assert sql == want
+    for nparts in (4, 32):
+        got = {r.id: r.dist for r in sssp(g, 0, mode="csr", num_partitions=nparts).state.collect()}
+        assert got == want, f"csr p={nparts}"
