@@ -51,7 +51,7 @@ def _cc_pack(edges_pdf):
 
 
 def _csr_min_comp(
-    spark, num_partitions: int, epoch: int, block_dir: str,
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
     frontier: DataFrame, bcast_slot: list, n_rows: int,
 ) -> DataFrame:
     """HashMin scatter over RESIDENT staged CSR blocks (same design as
@@ -95,7 +95,9 @@ def _csr_min_comp(
                 cand = np.minimum.reduceat(comp_v, starts)
                 yield pd.DataFrame({"id": dst_v[starts], "cand": cand})
 
-    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="id long, cand long")
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
+        kernel, schema="id long, cand long"
+    )
 
 
 def connected_components(
@@ -157,8 +159,13 @@ def connected_components(
     if mode == "csr":
         # dst-hashed block layout; staged lazily on first superstep
         # (plans/csr_blocks.py — see lpa.py mode='csr' for the design)
-        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+        from okapi_spark.plans.csr_blocks import (
+            choose_task_count, default_block_dir, stage_blocks,
+        )
 
+        # stage WIDE (one block per partition); supersteps run over
+        # fewer tasks when the graph is small (see pid_frame)
+        k_tasks = choose_task_count(n_edges, num_partitions)
         edges_by_pid = (
             graph.edges.select("src", "dst")
             .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
@@ -226,7 +233,7 @@ def connected_components(
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
             msgs = _csr_min_comp(
-                spark, num_partitions, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
                 state.filter("changed").select("id", "comp"),
                 bcast_slot, n_rows=last_changed[0],
             )

@@ -97,7 +97,7 @@ def _lpa_block_argmax(blk, sid, slbl):
 
 
 def _csr_best_labels(
-    spark, num_partitions: int, epoch: int, block_dir: str,
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
     state: DataFrame, bcast_slot: list, n_rows: int,
 ) -> DataFrame:
     """North-rule kernel superstep over RESIDENT CSR blocks: the edge
@@ -133,7 +133,9 @@ def _csr_best_labels(
                 ids, best = _lpa_block_argmax(blk, sid, slbl)
                 yield pd.DataFrame({"id": ids, "new_lbl": best})
 
-    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="id long, new_lbl long")
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
+        kernel, schema="id long, new_lbl long"
+    )
 
 
 def _argmax_label(msgs: DataFrame, key: str = "id") -> DataFrame:
@@ -211,8 +213,13 @@ def label_propagation(
         # never scan the edge table again (csr_blocks module doc).
         # Staging is LAZY (first superstep) so re-invoking a completed
         # checkpointed run still resumes instantly without an edge pass.
-        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+        from okapi_spark.plans.csr_blocks import (
+            choose_task_count, default_block_dir, stage_blocks,
+        )
 
+        # stage WIDE (one block per partition); supersteps run over
+        # fewer tasks when the graph is small (see pid_frame)
+        k_tasks = choose_task_count(graph.num_edges(), num_partitions)
         edges_by_pid = (
             graph.edges.select("src", "dst", w_col.alias("weight"))
             .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
@@ -283,7 +290,8 @@ def label_propagation(
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
             best = _csr_best_labels(
-                spark, num_partitions, epoch, ensure_staged(), state, bcast_slot, n_rows=n
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                state, bcast_slot, n_rows=n,
             )
         elif state_broadcast:
             labels = F.broadcast(

@@ -127,8 +127,14 @@ def pagerank(
         # (plans.csr_blocks module doc). Staging is LAZY (first
         # superstep) so re-invoking a completed checkpointed run still
         # resumes instantly without an edge pass.
-        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+        from okapi_spark.plans.csr_blocks import (
+            choose_task_count, default_block_dir, stage_blocks,
+        )
 
+        # stage WIDE (one block per partition — the pandas pack wants
+        # full parallelism); supersteps run over fewer tasks when the
+        # graph is small (each task reads several blocks)
+        k_tasks = choose_task_count(graph.num_edges(), num_partitions)
         shares_by_pid = (
             shares.select("src", "dst", "share")
             .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
@@ -218,7 +224,8 @@ def pagerank(
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
             msgs = _csr_messages_bcast(
-                spark, num_partitions, epoch, ensure_staged(), state, bcast_slot, n_rows=n
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                state, bcast_slot, n_rows=n,
             )
         elif mode == "csr_cogroup":
             msgs = _csr_messages(shares, state, num_partitions, epoch)
@@ -361,7 +368,7 @@ def _gather_state_arrays(
 
 
 def _csr_messages_bcast(
-    spark, num_partitions: int, epoch: int, block_dir: str,
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
     state: DataFrame, bcast_slot: list | None = None, n_rows: int | None = None,
 ) -> DataFrame:
     """dst-partitioned CSR gather-scatter over RESIDENT staged blocks
@@ -399,7 +406,9 @@ def _csr_messages_bcast(
                 out = np.add.reduceat(contrib, blk["starts"])
                 yield pd.DataFrame({"dst": blk["uniq_dst"], "msum": out})
 
-    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="dst long, msum double")
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
+        kernel, schema="dst long, msum double"
+    )
 
 
 def _pr_pack(edges_pdf):

@@ -24,7 +24,7 @@ from okapi_spark.graph.graph import Graph
 
 
 def _sssp_csr_cand(
-    spark, num_partitions: int, epoch: int, block_dir: str,
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
     frontier: DataFrame, bcast_slot: list, n_rows: int,
 ) -> DataFrame:
     """Relaxation scatter over RESIDENT staged CSR blocks (same design
@@ -69,7 +69,9 @@ def _sssp_csr_cand(
                 cand = np.minimum.reduceat(cand_v, starts)
                 yield pd.DataFrame({"id": dst_v[starts], "cand": cand})
 
-    return pid_frame(spark, num_partitions).mapInPandas(kernel, schema="id long, cand double")
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
+        kernel, schema="id long, cand double"
+    )
 
 
 def sssp(
@@ -114,7 +116,11 @@ def sssp(
         # dst-sorted (src, w) blocks; _lpa_pack already packs exactly
         # this layout (staged lazily on first superstep)
         from okapi_spark.operators.lpa import _lpa_pack
+        from okapi_spark.plans.csr_blocks import choose_task_count
 
+        # stage WIDE (one block per partition); supersteps run over
+        # fewer tasks when the graph is small (see pid_frame)
+        k_tasks = choose_task_count(graph.num_edges(), num_partitions)
         edges_by_pid = (
             edges.select("src", "dst", F.col("weight"))
             .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
@@ -141,7 +147,7 @@ def sssp(
     def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
         if mode == "csr":
             cand = _sssp_csr_cand(
-                spark, num_partitions, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
                 state.filter("changed").select("id", "dist"),
                 bcast_slot, n_rows=last_changed[0],
             )

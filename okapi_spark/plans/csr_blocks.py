@@ -59,6 +59,24 @@ from pyspark.sql import DataFrame
 _BLOCK_CACHE: dict = {}
 
 
+# ~2M rows of kernel work per superstep TASK keeps the task well above
+# the ~15-20ms-per-task Python/Arrow job floor (measured: a 32-task
+# mapInPandas round costs ~0.55s even with trivial kernels, vs ~0.1s
+# at 2 tasks). Staging always writes one block per partition — its
+# bottleneck is the opposite (the pandas pack wants full parallelism)
+# — and a superstep task simply reads several blocks when the graph
+# is small (the kernel loops over the pids in its slice).
+_TARGET_BLOCK_ROWS = 2_000_000
+
+
+def choose_task_count(n_edges: int, max_tasks: int) -> int:
+    """Fewer superstep tasks when the graph is small: per-superstep
+    cost has a fixed per-TASK floor, so a small graph fanned out to
+    every core is overhead-bound; at scale the count is capped by the
+    session's parallelism (one task per core)."""
+    return max(1, min(max_tasks, -(-n_edges // _TARGET_BLOCK_ROWS)))
+
+
 def default_block_dir(spark) -> str:
     """A fresh staging directory every executor of this deployment can
     read. Local masters share the driver's filesystem; for a real
@@ -139,13 +157,15 @@ def _prune_stale(epoch: int) -> None:
         _BLOCK_CACHE.pop(k, None)
 
 
-def pid_frame(spark, num_partitions: int) -> DataFrame:
-    """P-row driver for the per-superstep job: ``spark.range`` with P
-    slices puts exactly the value i in partition i — no shuffle, no
-    edge scan, P parallel tasks."""
+def pid_frame(spark, num_blocks: int, num_tasks: int | None = None) -> DataFrame:
+    """P-row driver for the per-superstep job: ``spark.range`` slices
+    the P block ids over ``num_tasks`` partitions — no shuffle, no
+    edge scan. With ``num_tasks < num_blocks`` each task's kernel
+    iterates several blocks (small-graph case: fewer tasks beat the
+    per-task job floor); default one task per block."""
     from pyspark.sql import functions as F
 
-    return spark.range(0, num_partitions, 1, num_partitions).select(
+    return spark.range(0, num_blocks, 1, num_tasks or num_blocks).select(
         F.col("id").cast("int").alias("pid")
     )
 

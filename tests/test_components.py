@@ -72,10 +72,16 @@ def test_cc_random_graph(spark):
     assert got == want
 
 
-def test_cc_csr_matches_oracle_and_sql_plans(spark):
+def test_cc_csr_matches_oracle_and_sql_plans(spark, monkeypatch):
     """mode='csr' (HashMin over resident staged CSR blocks) reaches the
     identical fixpoint as the sql plans and the union-find oracle,
     across partition counts (partitioning independence)."""
+    from okapi_spark.plans import csr_blocks
+
+    # force multi-block staging at toy scale so the partition-count
+    # sweep exercises real cross-block layouts (choose_block_count
+    # would otherwise collapse tiny graphs to one block)
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
     rng = np.random.default_rng(29)
     edges = [
         (int(rng.integers(1, 250)), int(rng.integers(1, 250)), 1.0) for _ in range(300)

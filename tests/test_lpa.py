@@ -235,11 +235,17 @@ def test_lpa_oscillation_resume_rehydrates_seen(spark, tmp_path):
     assert a == b
 
 
-def test_lpa_csr_matches_oracle_and_sql_plans(spark):
+def test_lpa_csr_matches_oracle_and_sql_plans(spark, monkeypatch):
     """mode='csr' (partition-local CSR gather-scatter, the north-rule
     physical form) computes the identical label state as the sql plans
     and the sequential oracle — weighted and unweighted, across
     partition counts (partitioning-independence)."""
+    from okapi_spark.plans import csr_blocks
+
+    # force multi-block staging at toy scale so the partition-count
+    # sweep exercises real cross-block layouts (choose_block_count
+    # would otherwise collapse tiny graphs to one block)
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
     edges = _two_communities()
     g = Graph.from_edges(toy_edges(spark, edges))
     sym = edges + [(d, s, w) for s, d, w in edges]
@@ -255,9 +261,15 @@ def test_lpa_csr_matches_oracle_and_sql_plans(spark):
                 assert got == want, f"csr weighted={weighted} iters={iters} p={nparts}"
 
 
-def test_lpa_csr_tie_break_and_random_graph_parity(spark):
+def test_lpa_csr_tie_break_and_random_graph_parity(spark, monkeypatch):
     """Exact ties pick the smallest label in BOTH plans; a seeded
     random graph agrees between csr and sql over several rounds."""
+    from okapi_spark.plans import csr_blocks
+
+    # force multi-block staging at toy scale so the partition-count
+    # sweep exercises real cross-block layouts (choose_block_count
+    # would otherwise collapse tiny graphs to one block)
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
     # vertex 5 receives weight 2.0 from label-1 side and 2.0 from
     # label-2 side after round 1 state — tie must go to min label
     tie_edges = [(1, 5, 2.0), (2, 5, 2.0), (3, 1, 1.0), (4, 2, 1.0)]

@@ -66,10 +66,16 @@ def test_aux_readers(spark, tmp_path):
     assert sorted(r.id for r in ids.collect()) == [7, 9]
 
 
-def test_sssp_csr_matches_oracle_and_sql(spark):
+def test_sssp_csr_matches_oracle_and_sql(spark, monkeypatch):
     """mode='csr' (relaxation over resident staged CSR blocks) reaches
     the identical distances as the sql plan and the Dijkstra oracle,
     across partition counts; unreached vertices stay absent."""
+    from okapi_spark.plans import csr_blocks
+
+    # force multi-block staging at toy scale so the partition-count
+    # sweep exercises real cross-block layouts (choose_block_count
+    # would otherwise collapse tiny graphs to one block)
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
     import numpy as np
 
     rng = np.random.RandomState(31)

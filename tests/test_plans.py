@@ -146,7 +146,8 @@ def test_lpa_csr_kernel_plan_zero_exchange_zero_edge_scan(spark):
     state = g.vertices().select("id", F.col("id").alias("lbl"))
     slot = [None]
     best = _csr_best_labels(
-        spark, 8, epoch=-1, block_dir=block_dir, state=state, bcast_slot=slot, n_rows=2_000
+        spark, 8, 4, epoch=-1, block_dir=block_dir,
+        state=state, bcast_slot=slot, n_rows=2_000,
     )
     try:
         assert count_exchanges(best) == 0, "csr superstep plan must not shuffle"
