@@ -187,6 +187,16 @@ def _q_mssp(spark, sf_dir):
     return mssp(g, srcs).state.select("id", "origin", "dist")
 
 
+def _q_mssp_csr(spark, sf_dir):
+    """Same multi-source fixpoint through the mode='csr' physical plan
+    (resident staged CSR blocks) — same unrolled DuckDB oracle."""
+    from okapi_spark.operators.sssp import mssp
+
+    g = _graph(spark, sf_dir)
+    srcs = [int(r.id) for r in g.vertices().orderBy("id").limit(3).collect()]
+    return mssp(g, srcs, mode="csr").state.select("id", "origin", "dist")
+
+
 def _q_sybilrank(spark, sf_dir):
     from okapi_spark.operators.sybilrank import sybilrank
 
@@ -546,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops": _q_sssp,
         "sssp_hops_csr": _q_sssp_csr,
         "mssp_hops": _q_mssp,
+        "mssp_hops_csr": _q_mssp_csr,
         "sybilrank_4": _q_sybilrank,
         "bmatching_3": _q_bmatching,
         "kmeans_2": _q_kmeans,
@@ -1277,6 +1288,7 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "sssp_hops": _sssp_sql(6),
         "sssp_hops_csr": _sssp_sql(6),
         "mssp_hops": _mssp_sql(8),
+        "mssp_hops_csr": _mssp_sql(8),
         "sybilrank_4": _sybilrank_sql(4),
         "bmatching_3": _bmatching_sql(3),
         "kmeans_2": _kmeans_sql(2),

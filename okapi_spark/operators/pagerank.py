@@ -334,37 +334,59 @@ def _gather_state_arrays(
     ~+0.4s/superstep at |V|=20k for zero benefit when the driver-side
     pandas materialization is microseconds — so small states take the
     direct path and the binary pack engages where it matters."""
+    ids, (vals,) = _gather_sorted_arrays(state, n_rows, [(value_col, value_dtype)])
+    return ids, vals
+
+
+def _gather_sorted_arrays(
+    df: DataFrame, n_rows: int | None, cols: list[tuple[str, str]]
+) -> tuple:
+    """General form of the state gather: returns ``(ids, [arr, ...])``
+    with every array id-sorted on the SAME stable order (value columns
+    stay row-aligned — two independent collects would not be). ``cols``
+    is a list of ``(column, numpy dtype)``."""
     import numpy as np
     import pyarrow as pa
 
-    vdtype = np.dtype(value_dtype)
+    names = [c for c, _ in cols]
+    dtypes = [np.dtype(d) for _, d in cols]
     if n_rows is not None and n_rows <= _GATHER_PANDAS_MAX_ROWS:
-        pdf = state.select("id", value_col).toPandas()
+        pdf = df.select("id", *names).toPandas()
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids, kind="stable")
-        return ids[order], pdf[value_col].to_numpy().astype(vdtype, copy=False)[order]
+        return ids[order], [
+            pdf[c].to_numpy().astype(dt, copy=False)[order]
+            for c, dt in zip(names, dtypes)
+        ]
 
     def pack(batches):
-        ids, rks = [], []
+        ids, vals = [], [[] for _ in names]
         for b in batches:
             ids.append(b.column("id").to_numpy(zero_copy_only=False))
-            rks.append(b.column(value_col).to_numpy(zero_copy_only=False))
+            for j, c in enumerate(names):
+                vals[j].append(b.column(c).to_numpy(zero_copy_only=False))
         if ids:
             i = np.concatenate(ids)
-            r = np.concatenate(rks)
             o = np.argsort(i, kind="stable")
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([i[o].tobytes()]), pa.array([r[o].astype(vdtype).tobytes()])],
-                names=["ids", "vals"],
-            )
+            arrays = [pa.array([i[o].tobytes()])]
+            for j, dt in enumerate(dtypes):
+                arrays.append(pa.array([np.concatenate(vals[j])[o].astype(dt).tobytes()]))
+            yield pa.RecordBatch.from_arrays(arrays, names=["ids"] + [f"v{j}" for j in range(len(names))])
 
-    blobs = state.select(F.col("id").cast("long").alias("id"), value_col).mapInArrow(
-        pack, "ids binary, vals binary"
+    schema = "ids binary, " + ", ".join(f"v{j} binary" for j in range(len(names)))
+    blobs = df.select(F.col("id").cast("long").alias("id"), *names).mapInArrow(
+        pack, schema
     ).collect()
-    ids = np.concatenate([np.frombuffer(b.ids, dtype=np.int64) for b in blobs] or [np.array([], dtype=np.int64)])
-    vals = np.concatenate([np.frombuffer(b.vals, dtype=vdtype) for b in blobs] or [np.array([], dtype=vdtype)])
+    ids = np.concatenate(
+        [np.frombuffer(b.ids, dtype=np.int64) for b in blobs] or [np.array([], dtype=np.int64)]
+    )
+    out = []
+    for j, dt in enumerate(dtypes):
+        out.append(np.concatenate(
+            [np.frombuffer(getattr(b, f"v{j}"), dtype=dt) for b in blobs] or [np.array([], dtype=dt)]
+        ))
     order = np.argsort(ids, kind="stable")
-    return ids[order], vals[order]
+    return ids[order], [a[order] for a in out]
 
 
 def _csr_messages_bcast(

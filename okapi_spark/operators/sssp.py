@@ -194,11 +194,77 @@ def sssp(
     return res
 
 
+def _mssp_csr_cand(
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
+    frontier: DataFrame, bcast_slot: list, n_rows: int,
+) -> DataFrame:
+    """Multi-source relaxation over RESIDENT staged CSR blocks: the
+    changed-frontier ships as THREE row-aligned id-sorted arrays
+    (id, origin, dist); a src can carry SEVERAL frontier entries (one
+    per origin), so the kernel expands each block edge over its src's
+    frontier run (searchsorted left/right bounds + np.repeat) before
+    the per-(dst, origin) segment-min. Zero exchange, zero edge
+    rescan — the reference's per-vertex source→distance map delta
+    propagation re-expressed as a vectorized gather."""
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    sid, (sorig, sdist) = _gather_sorted_arrays(
+        frontier, n_rows, [("origin", "int64"), ("dist", "float64")]
+    )
+    b = spark.sparkContext.broadcast((sid, sorig, sdist))
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+    bcast_slot[0] = b
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("mssp", epoch, int(pid), block_dir)
+                sid, sorig, sdist = b.value
+                if blk is None or len(blk["dst"]) == 0 or len(sid) == 0:
+                    continue
+                src, dst, w = blk["src"], blk["dst"], blk["w"]
+                lo = np.searchsorted(sid, src, side="left")
+                hi = np.searchsorted(sid, src, side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                # expand edge i over its src's frontier run [lo_i, hi_i)
+                eidx = np.repeat(np.arange(len(src)), cnt)
+                off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                fidx = np.repeat(lo, cnt) + off
+                dsts = dst[eidx]
+                orig = sorig[fidx]
+                cand_v = sdist[fidx] + w[eidx]
+                # per-(dst, origin) min via sort + segment-reduce
+                order = np.lexsort((orig, dsts))
+                g_dst, g_org, g_c = dsts[order], orig[order], cand_v[order]
+                starts = np.flatnonzero(
+                    np.r_[True, (g_dst[1:] != g_dst[:-1]) | (g_org[1:] != g_org[:-1])]
+                )
+                cand = np.minimum.reduceat(g_c, starts)
+                yield pd.DataFrame(
+                    {"id": g_dst[starts], "origin": g_org[starts], "cand": cand}
+                )
+
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
+        kernel, schema="id long, origin long, cand double"
+    )
+
+
 def mssp(
     graph: Graph,
     sources: list[int] | DataFrame,
     max_supersteps: int = 200,
     store: CheckpointStore | None = None,
+    mode: str = "sql",
+    num_partitions: int | None = None,
 ) -> BSPResult:
     """Multi-source: state (id, src, dist) in exploded long form —
     equivalent to the reference's MapWritable source→distance
@@ -206,9 +272,17 @@ def mssp(
 
     ``sources``: a small landmark list, or a DataFrame with an ``id``
     column for source sets that should never transit the driver
-    (fraction mode can select O(|V|) sources)."""
+    (fraction mode can select O(|V|) sources).
+
+    ``mode="csr"``: relaxation over resident staged CSR blocks (see
+    ``_mssp_csr_cand``); byte-gated on the worst-case frontier
+    |V|·|sources| since the frontier broadcasts each superstep."""
+    if mode not in ("sql", "csr"):
+        raise ValueError(f"unknown mssp mode {mode!r}")
     spark = graph.edges.sparkSession
     edges = graph.edges
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
 
     if isinstance(sources, DataFrame):
         state0 = sources.select(
@@ -223,13 +297,62 @@ def mssp(
             "id long, origin long, dist double, changed boolean",
         )
 
-    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
-        frontier = state.filter("changed").select(F.col("id").alias("src"), "origin", "dist")
-        cand = (
-            edges.join(frontier, "src")
-            .groupBy(F.col("dst").alias("id"), "origin")
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+
+    epoch = next(_EPOCH_COUNTER)
+    block_slot: list = [None]
+    bcast_slot: list = [None]
+    n_sources = state0.count()
+    last_changed = [n_sources]
+    if mode == "csr":
+        from okapi_spark.plans.broadcast import auto_state_broadcast
+        from okapi_spark.plans.csr_blocks import (
+            choose_task_count, default_block_dir, stage_blocks,
         )
+
+        worst_frontier = graph.num_vertices() * n_sources
+        if not auto_state_broadcast(worst_frontier, row_bytes=48):
+            raise ValueError(
+                f"mode='csr' broadcasts the changed frontier each superstep and "
+                f"the worst case is |V|·|sources|={worst_frontier} rows, "
+                "exceeding the broadcast budget. Use mode='sql'."
+            )
+        from okapi_spark.operators.lpa import _lpa_pack
+
+        k_tasks = choose_task_count(graph.num_edges(), num_partitions)
+        edges_by_pid = (
+            edges.select("src", "dst", F.col("weight"))
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
+        )
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                from okapi_spark.bsp import no_adaptive
+
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        edges_by_pid, num_partitions, _lpa_pack, "mssp", epoch, block_slot[0]
+                    )
+                n_edges = graph.num_edges()
+                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+            return block_slot[0]
+
+    def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
+        if mode == "csr":
+            cand = _mssp_csr_cand(
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                state.filter("changed").select("id", "origin", "dist"),
+                bcast_slot, n_rows=last_changed[0],
+            )
+        else:
+            frontier = state.filter("changed").select(F.col("id").alias("src"), "origin", "dist")
+            cand = (
+                edges.join(frontier, "src")
+                .groupBy(F.col("dst").alias("id"), "origin")
+                .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+            )
         merged = (
             state.select("id", "origin", "dist").join(cand, ["id", "origin"], "full_outer")
             .select(
@@ -243,15 +366,26 @@ def mssp(
         )
 
         def post(materialized: DataFrame) -> dict:
-            return {"changed": materialized.filter("changed").count()}
+            n_changed = materialized.filter("changed").count()
+            last_changed[0] = n_changed
+            return {"changed": n_changed}
 
         return merged, post
 
-    res = run_supersteps(
-        state0, superstep, max_supersteps=max_supersteps,
-        halt_fn=lambda ss, m: m["changed"] == 0, store=store,
-    )
+    try:
+        res = run_supersteps(
+            state0, superstep, max_supersteps=max_supersteps,
+            halt_fn=lambda ss, m: m["changed"] == 0, store=store,
+        )
+    finally:
+        if block_slot[0] is not None:
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
     res.state = res.state.select("id", "origin", "dist")
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+        bcast_slot[0] = None
     return res
 
 

@@ -93,3 +93,38 @@ def test_sssp_csr_matches_oracle_and_sql(spark, monkeypatch):
     for nparts in (4, 32):
         got = {r.id: r.dist for r in sssp(g, 0, mode="csr", num_partitions=nparts).state.collect()}
         assert got == want, f"csr p={nparts}"
+
+
+def test_mssp_csr_matches_oracle_and_sql(spark, monkeypatch):
+    """mode='csr' multi-source relaxation (resident staged CSR blocks,
+    variable-width frontier expansion per src) reaches the identical
+    per-(id, origin) distances as the sql plan and the per-source
+    Dijkstra oracle, across partition counts."""
+    import numpy as np
+
+    from okapi_spark.plans import csr_blocks
+
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
+    rng = np.random.RandomState(43)
+    edges = [
+        (int(s), int(d), float(w) / 4.0)
+        for s, d, w in zip(
+            rng.randint(0, 100, 400), rng.randint(0, 100, 400), rng.randint(1, 9, 400)
+        )
+        if s != d
+    ]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    srcs = [0, 11, 47]
+    sym = edges + [(d, s, w) for s, d, w in edges]
+    want = {}
+    for s in srcs:
+        for vid, dist in sssp_oracle(sym, s).items():
+            want[(vid, s)] = dist
+    sql = {(r.id, r.origin): r.dist for r in mssp(g, srcs, mode="sql").state.collect()}
+    assert sql == want
+    for nparts in (4, 32):
+        got = {
+            (r.id, r.origin): r.dist
+            for r in mssp(g, srcs, mode="csr", num_partitions=nparts).state.collect()
+        }
+        assert got == want, f"csr p={nparts}"
