@@ -209,6 +209,18 @@ def _q_sybilrank(spark, sf_dir):
     return res.state.select("id", F.round("rank", 9).alias("rank_r"))
 
 
+def _q_sybilrank_csr(spark, sf_dir):
+    """Same degree-normalized trust fixpoint through the mode='csr'
+    physical plan (resident staged CSR blocks — PageRank's kernel over
+    the trust shares) — same unrolled DuckDB oracle."""
+    from okapi_spark.operators.sybilrank import sybilrank
+
+    g = _graph(spark, sf_dir)
+    trusted = g.vertices().orderBy("id").limit(5)
+    res = sybilrank(g, trusted, mode="csr")
+    return res.state.select("id", F.round("rank", 9).alias("rank_r"))
+
+
 def _q_bmatching(spark, sf_dir):
     from okapi_spark.operators.bmatching import max_b_matching
 
@@ -558,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mssp_hops": _q_mssp,
         "mssp_hops_csr": _q_mssp_csr,
         "sybilrank_4": _q_sybilrank,
+        "sybilrank_4_csr": _q_sybilrank_csr,
         "bmatching_3": _q_bmatching,
         "kmeans_2": _q_kmeans,
         "semimetric": _q_semimetric,
@@ -1290,6 +1303,7 @@ SELECT id, MIN(comp) AS comp FROM cc GROUP BY id"""
         "mssp_hops": _mssp_sql(8),
         "mssp_hops_csr": _mssp_sql(8),
         "sybilrank_4": _sybilrank_sql(4),
+        "sybilrank_4_csr": _sybilrank_sql(4),
         "bmatching_3": _bmatching_sql(3),
         "kmeans_2": _kmeans_sql(2),
         "semimetric": _SEMIMETRIC_SQL,

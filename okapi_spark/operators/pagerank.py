@@ -24,19 +24,18 @@ Two physical strategies, same fixpoint:
   ``state_broadcast=False`` (cluster-scale |V|) it falls back to the
   classic two-shuffle plan: state shuffles into the src join,
   Catalyst partial aggregation combines messages map-side.
-* ``mode="csr"`` — partition-local sparse gather-scatter (north rule):
-  edges are hash-partitioned by pmod(xxhash64(dst), P) and cached; the
-  rank state is collected to two sorted NumPy arrays and broadcast via
-  ``SparkContext.broadcast`` each superstep. Inside an Arrow-batched
-  pandas UDF each partition packs its adjacency into CSR-style NumPy
-  index arrays once (cached worker-side across supersteps, keyed by
-  (epoch, pid)); gather = vectorized ``searchsorted`` into the
-  broadcast ranks, scatter = ``np.add.at`` per local dst — zero
-  per-row Python AND zero shuffle: because the partition owns ALL
-  in-edges of its dst's, the partial sums are final. The remaining
-  per-superstep cost is the Arrow transfer of the edge columns into
-  the Python workers — the price of Python kernels; the SQL mode keeps
-  everything JVM-side and is the default.
+* ``mode="csr"`` — partition-local sparse gather-scatter over RESIDENT
+  staged blocks (north rule; plans/csr_blocks.py): edges are
+  hash-partitioned by pmod(xxhash64(dst), P), packed dst-sorted, and
+  staged ONCE as memmapped ``.npy`` block files; the rank state is
+  collected to two sorted NumPy arrays and broadcast via
+  ``SparkContext.broadcast`` each superstep. Each superstep is a P-row
+  Range → ``mapInPandas`` job whose kernel opens its blocks from the
+  OS page cache: gather = vectorized ``searchsorted`` into the
+  broadcast ranks, scatter = ``np.add.reduceat`` over the dst-sorted
+  layout — zero per-row Python, zero shuffle (the partition owns ALL
+  in-edges of its dst's, so the partial sums are final), and zero edge
+  bytes across the JVM↔Arrow boundary per superstep.
 * ``mode="csr_cogroup"`` — the earlier variant (src-partitioned
   cogroup of edges with state + final groupBy(dst)); kept for
   reference/comparison.
@@ -392,6 +391,7 @@ def _gather_sorted_arrays(
 def _csr_messages_bcast(
     spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
     state: DataFrame, bcast_slot: list | None = None, n_rows: int | None = None,
+    tag: str = "pr",
 ) -> DataFrame:
     """dst-partitioned CSR gather-scatter over RESIDENT staged blocks
     with numpy-broadcast state: the partition owns every in-edge of
@@ -417,7 +417,7 @@ def _csr_messages_bcast(
 
         for pdf in pdf_iter:
             for pid in pdf["pid"].tolist():
-                blk = load_block("pr", epoch, int(pid), block_dir)
+                blk = load_block(tag, epoch, int(pid), block_dir)
                 if blk is None or len(blk["src"]) == 0:
                     continue
                 rid, rv = b.value

@@ -35,6 +35,8 @@ def sybilrank(
     total_trust: float | None = None,
     state_broadcast: bool | None = None,
     broadcast_threshold: int | None = None,
+    mode: str = "sql",
+    num_partitions: int | None = None,
 ) -> BSPResult:
     """trusted: (id long). Returns state (id long, rank double) where
     rank is the degree-normalized trust after the final iteration.
@@ -46,12 +48,29 @@ def sybilrank(
     explicit row count); above it the classic two-shuffle plan runs
     (state shuffles into the src join, map-side partial sum combines
     messages).
+
+    ``mode="csr"``: the scatter is weighted-PageRank-shaped, so the
+    resident-staged-block kernel is PageRank's own
+    ``_csr_messages_bcast`` over the trust shares — zero exchange,
+    zero edge rescan (plans/csr_blocks.py); same byte gate.
     """
+    if mode not in ("sql", "csr"):
+        raise ValueError(f"unknown sybilrank mode {mode!r}")
     spark = graph.edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
     vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
     if total_trust is None:
         total_trust = float(n)
+    if mode == "csr" and not auto_state_broadcast(
+        n, row_bytes=32, rows_override=broadcast_threshold
+    ):
+        raise ValueError(
+            f"mode='csr' broadcasts the full trust state each superstep; "
+            f"|V|={n} exceeds the broadcast budget "
+            f"(threshold={broadcast_threshold}). Use mode='sql'."
+        )
     if state_broadcast is None:
         # byte-budgeted gate (plans/broadcast.py, CC/LPA/PageRank
         # precedent): (id, send) ~ 32B/row vs the 256MB budget
@@ -65,12 +84,43 @@ def sybilrank(
     shares = graph.edges.join(deg.withColumnRenamed("id", "src"), "src").select(
         "src", "dst", (F.col("weight") / F.col("deg")).alias("share")
     )
-    # broadcast mode: dst-partitioned scatter layout (see Graph.by_dst);
-    # shuffle mode: src layout so the state equi-join co-locates on src
-    shares = shares.repartition("dst" if state_broadcast else "src").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    shares.count()
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+
+    epoch = next(_EPOCH_COUNTER)
+    block_slot: list = [None]
+    bcast_slot: list = [None]
+    if mode == "csr":
+        # same staged layout and kernel as pagerank mode='csr'
+        from okapi_spark.operators.pagerank import _pr_pack
+        from okapi_spark.plans.csr_blocks import (
+            choose_task_count, default_block_dir, stage_blocks,
+        )
+
+        n_edges = graph.num_edges()
+        k_tasks = choose_task_count(n_edges, num_partitions)
+        shares_by_pid = (
+            shares.withColumn(
+                "pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int")
+            ).repartition(num_partitions, "pid")
+        )
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        shares_by_pid, num_partitions, _pr_pack, "sr", epoch, block_slot[0]
+                    )
+                assert staged == n_edges, f"staged {staged} share rows != |E|={n_edges}"
+            return block_slot[0]
+    else:
+        # broadcast mode: dst-partitioned scatter layout (see
+        # Graph.by_dst); shuffle mode: src layout so the state
+        # equi-join co-locates on src
+        shares = shares.repartition("dst" if state_broadcast else "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        shares.count()
 
     init_rank = F.when(F.col("is_trusted"), total_trust / n_trusted).otherwise(0.0)
     state0 = (
@@ -79,19 +129,28 @@ def sybilrank(
     )
 
     def superstep(ss: int, state: DataFrame):
-        sends = state.select("id", "send").withColumnRenamed("id", "src")
-        if state_broadcast:
-            sends = F.broadcast(sends)
+        if mode == "csr":
+            from okapi_spark.operators.pagerank import _csr_messages_bcast
+
+            recv = _csr_messages_bcast(
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                state.select("id", F.col("send").alias("rank")),
+                bcast_slot, n_rows=n, tag="sr",
+            ).select(F.col("dst").alias("id"), F.col("msum").alias("recv"))
         else:
-            # stream cached edges vs per-partition trust hash (no SMJ
-            # re-sort of the edge set; see pagerank.py shuffle branch)
-            sends = sends.hint("shuffle_hash")
-        recv = (
-            shares.join(sends, "src")
-            .select("dst", (F.col("send") * F.col("share")).alias("m"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("m").alias("recv"))
-        )
+            sends = state.select("id", "send").withColumnRenamed("id", "src")
+            if state_broadcast:
+                sends = F.broadcast(sends)
+            else:
+                # stream cached edges vs per-partition trust hash (no SMJ
+                # re-sort of the edge set; see pagerank.py shuffle branch)
+                sends = sends.hint("shuffle_hash")
+            recv = (
+                shares.join(sends, "src")
+                .select("dst", (F.col("send") * F.col("share")).alias("m"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("m").alias("recv"))
+            )
         new_state = vertices.join(recv, "id", "left").select(
             "id", F.coalesce("recv", F.lit(0.0)).alias("send")
         )
@@ -99,8 +158,17 @@ def sybilrank(
 
     from contextlib import nullcontext
 
-    with no_adaptive(spark) if state_broadcast else nullcontext():
-        res = run_supersteps(state0, superstep, max_supersteps=power_iterations)
+    try:
+        with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
+            res = run_supersteps(state0, superstep, max_supersteps=power_iterations)
+    finally:
+        if block_slot[0] is not None:
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+        bcast_slot[0] = None
     final = res.state.join(deg, "id", "left").select(
         "id",
         F.when(F.col("deg") > 0, F.col("send") / F.col("deg")).otherwise(0.0).alias("rank"),

@@ -105,3 +105,36 @@ def test_watts_strogatz_sybilrank(spark):
     avg_t = sum(ranks[v] for v in t_ids) / len(t_ids)
     avg_o = sum(r for v, r in ranks.items() if v not in t_ids) / (n - len(t_ids))
     assert avg_t > avg_o
+
+
+def test_sybilrank_csr_matches_sql(spark, monkeypatch):
+    """mode='csr' (resident staged CSR blocks — PageRank's kernel over
+    the trust shares) agrees with the sql plan within float rounding,
+    across partition counts."""
+    import numpy as np
+
+    from okapi_spark.graph.graph import Graph
+    from okapi_spark.operators.sybilrank import sybilrank
+    from okapi_spark.plans import csr_blocks
+
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
+    rng = np.random.RandomState(59)
+    edges = [
+        (int(s), int(d), float(w))
+        for s, d, w in zip(
+            rng.randint(0, 120, 500), rng.randint(0, 120, 500), rng.randint(1, 5, 500)
+        )
+        if s != d
+    ]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long, weight double")
+    )
+    trusted = spark.createDataFrame([(0,), (3,), (7,)], "id long")
+    sql = {r.id: r.rank for r in sybilrank(g, trusted, mode="sql").state.collect()}
+    for nparts in (4, 32):
+        got = {
+            r.id: r.rank
+            for r in sybilrank(g, trusted, mode="csr", num_partitions=nparts).state.collect()
+        }
+        assert set(got) == set(sql)
+        assert max(abs(got[k] - sql[k]) for k in sql) < 1e-9, f"p={nparts}"
