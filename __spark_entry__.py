@@ -270,6 +270,20 @@ def _q_spinner(spark, sf_dir):
     return res.state.select("id", "part")
 
 
+def _q_spinner_csr(spark, sf_dir):
+    """Same full Spinner protocol through the mode='csr' physical plan
+    (the two |E|-scale jobs per round run over resident staged CSR
+    blocks; all |V|-scale scoring/migration SQL is shared with
+    mode='sql') — bit-identical to the spinner_8 golden, so it is
+    checked against the SAME ref_impl-verified snapshot."""
+    from okapi_spark.operators.lpa import spinner_partition
+
+    res = spinner_partition(
+        _weighted_graph(spark, sf_dir), k=8, max_iterations=8, seed=5, mode="csr"
+    )
+    return res.state.select("id", "part")
+
+
 def _q_kmeans(spark, sf_dir):
     from okapi_spark.operators.kmeans import kmeans
 
@@ -575,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_2": _q_kmeans,
         "semimetric": _q_semimetric,
         "spinner_8": _q_spinner,  # oracle: pinned-seed golden snapshot
+        "spinner_8_csr": _q_spinner_csr,  # same golden (bit-identical protocol)
         "jaccard": _q_jaccard,
         "adamic_adar": _q_adamic_adar,
         "clustering_coef": _q_clustering_coef,
@@ -1264,6 +1279,12 @@ k{i} AS MATERIALIZED (
 def oracle_sql() -> dict[str, str]:
     out = {name: _golden_sql(g) for name, g in _load_goldens().items()
            if name in _GOLDEN_NAMES}
+    if "spinner_8" in out:
+        # mode='csr' shares every |V|-scale protocol step with
+        # mode='sql' (only the |E|-scale histogram/gating jobs move to
+        # the staged kernels) and is verified bit-identical — so it is
+        # checked against the SAME ref_impl-guarded golden snapshot.
+        out["spinner_8_csr"] = out["spinner_8"]
     return out | {
         "degree": "WITH " + _EDGES_CTE + "\nSELECT id, degree FROM deg",
         "triangle_total": (

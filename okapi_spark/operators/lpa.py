@@ -49,25 +49,20 @@ def _lpa_pack(edges_pdf):
     }
 
 
-def _lpa_block_argmax(blk, sid, slbl):
-    """Pure-NumPy LPA superstep over one packed block: neighbor-label
-    histogram as a sorted segment-reduce (fused-key sort +
+def _block_label_hist(blk, sid, slbl):
+    """Neighbor-label weight histogram over one packed block: group by
+    (dst, label-of-src) via a sorted segment-reduce (fused-key sort +
     add.reduceat) instead of the JVM hash aggregation — the hash agg
     touches up-to-|E| distinct (dst, lbl) groups through random
     access, which is what DRAM-binds the sql plans at 10^8-edge scale
     (BENCH.md "LPA broadcast floor decomposition"); the sort is
-    sequential-bandwidth-friendly.
-
-    Tie semantics match ``_argmax_label`` exactly: max summed weight,
-    then smallest label. (Weight sums are compared as float64 in both
-    plans.) Returns (dst ids, best labels)."""
+    sequential-bandwidth-friendly. Returns (grp_dst, grp_lbl, sums)."""
     import numpy as np
 
     dst_sorted, src_sorted, w_sorted = blk["dst"], blk["src"], blk["w"]
     lab = slbl[np.searchsorted(sid, src_sorted)]  # gather src labels
-    # histogram: group by (dst, lbl) via sort + segment sums. Both
-    # keys are vertex ids < maxv, so below ~3×10⁹ vertices the pair
-    # packs into one int64 and a single argsort replaces the
+    # Both keys are vertex ids < maxv, so below ~3×10⁹ vertices the
+    # pair packs into one int64 and a single argsort replaces the
     # two-pass lexsort (~2× less per-superstep sort bandwidth —
     # this sort is the kernel's hot loop, paid every round because
     # labels change; the dst-sorted pack is paid once at staging).
@@ -81,8 +76,19 @@ def _lpa_block_argmax(blk, sid, slbl):
     g_w = w_sorted[order]
     grp = np.flatnonzero(np.r_[True, (g_dst[1:] != g_dst[:-1]) | (g_lbl[1:] != g_lbl[:-1])])
     sums = np.add.reduceat(g_w, grp)
-    grp_dst = g_dst[grp]
-    grp_lbl = g_lbl[grp]
+    return g_dst[grp], g_lbl[grp], sums
+
+
+def _lpa_block_argmax(blk, sid, slbl):
+    """Pure-NumPy LPA superstep over one packed block: the
+    ``_block_label_hist`` histogram followed by the per-dst argmax.
+
+    Tie semantics match ``_argmax_label`` exactly: max summed weight,
+    then smallest label. (Weight sums are compared as float64 in both
+    plans.) Returns (dst ids, best labels)."""
+    import numpy as np
+
+    grp_dst, grp_lbl, sums = _block_label_hist(blk, sid, slbl)
     # per-dst argmax with min-label tie-break over the group sums
     dgrp = np.flatnonzero(np.r_[True, grp_dst[1:] != grp_dst[:-1]])
     wmax = np.maximum.reduceat(sums, dgrp)
@@ -136,6 +142,89 @@ def _csr_best_labels(
     return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
         kernel, schema="id long, new_lbl long"
     )
+
+
+def _csr_label_hist(
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
+    state: DataFrame, bcast_slot: list, n_rows: int, tag: str = "spin",
+) -> DataFrame:
+    """Spinner's ComputeNewPartition histogram over RESIDENT staged CSR
+    blocks: emits the full (dst, neighbor-partition, Σw) table — the
+    same rows as the sql plan's ``edges ⋈ labels → groupBy(dst, spart)``
+    — via ``_block_label_hist``'s sorted segment-reduce. The |V|-scale
+    scoring/migration logic downstream stays in SQL unchanged, so the
+    protocol (including the hash-uniform migration coin flips) is
+    byte-identical between modes; only this |E|-scale job moves off the
+    JVM hash-agg path. Zero exchange, zero edge rescan."""
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _gather_state_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    b = spark.sparkContext.broadcast(
+        _gather_state_arrays(state, n_rows=n_rows, value_col="lbl", value_dtype="int64")
+    )
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+    bcast_slot[0] = b
+
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block(tag, epoch, int(pid), block_dir)
+                if blk is None or len(blk["dst"]) == 0:
+                    continue
+                sid, slbl = b.value
+                grp_dst, grp_lbl, sums = _block_label_hist(blk, sid, slbl)
+                yield pd.DataFrame(
+                    {"id": grp_dst, "cand": grp_lbl.astype("int32"), "w": sums}
+                )
+
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
+        kernel, schema="id long, cand int, w double"
+    )
+
+
+def _csr_active_dsts(
+    spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
+    moved: DataFrame, bcast_slot: list, n_rows: int, tag: str = "spin",
+) -> DataFrame:
+    """Spinner's isActive gating over RESIDENT staged blocks: the set
+    of vertices with at least one migrated in-neighbor (the sql plan's
+    ``edges ⋈ moved → distinct(dst)``). Each block's dst set is
+    disjoint from every other block's (dst-hash layout), so the
+    per-block distinct is globally distinct — no exchange needed."""
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    mv_ids, _ = _gather_sorted_arrays(moved, n_rows, [])
+    b = spark.sparkContext.broadcast(mv_ids)
+    if bcast_slot[0] is not None:
+        bcast_slot[0].destroy()
+    bcast_slot[0] = b
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block(tag, epoch, int(pid), block_dir)
+                mv = b.value
+                if blk is None or len(blk["dst"]) == 0 or len(mv) == 0:
+                    continue
+                src, dst = blk["src"], blk["dst"]
+                pos = np.searchsorted(mv, src)
+                np.clip(pos, 0, len(mv) - 1, out=pos)
+                valid = mv[pos] == src
+                if not valid.any():
+                    continue
+                dst_v = dst[valid]  # dst-sorted ⇒ uniques are run starts
+                uniq = dst_v[np.r_[True, dst_v[1:] != dst_v[:-1]]]
+                yield pd.DataFrame({"id": uniq})
+
+    return pid_frame(spark, num_blocks, num_tasks).mapInPandas(kernel, schema="id long")
 
 
 def _argmax_label(msgs: DataFrame, key: str = "id") -> DataFrame:
@@ -402,9 +491,17 @@ def spinner_partition(
     num_partitions: int | None = None,
     state_broadcast: bool | None = None,
     broadcast_threshold: int | None = None,
+    mode: str = "sql",
 ) -> BSPResult:
     """Spinner balanced k-way partitioning — spinner/Spinner.java:103-736,
     full protocol. state (id long, part int).
+
+    ``mode="csr"``: the two |E|-scale jobs per round — the
+    ComputeNewPartition histogram and the isActive gating — run over
+    resident staged CSR blocks (``_csr_label_hist`` /
+    ``_csr_active_dsts``); every |V|-scale scoring/migration step,
+    including the hash-uniform coin flips, is the SAME SQL as
+    mode='sql', so the protocol is identical by construction.
 
     Faithful pieces (reference file:line):
 
@@ -447,6 +544,8 @@ def spinner_partition(
       BEFORE the migration phase of the round (master halts the
       migration superstep, :700-736), after window warm-up.
     """
+    if mode not in ("sql", "csr"):
+        raise ValueError(f"unknown spinner mode {mode!r}")
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -469,17 +568,74 @@ def spinner_partition(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = vertices.count()
+    if mode == "csr" and not auto_state_broadcast(
+        n, row_bytes=32, rows_override=broadcast_threshold
+    ):
+        raise ValueError(
+            f"mode='csr' broadcasts the full partition state each round; "
+            f"|V|={n} exceeds the broadcast budget "
+            f"(threshold={broadcast_threshold}). Use mode='sql' "
+            "(state_broadcast=False selects the shuffle plan)."
+        )
     if state_broadcast is None:
         # byte-based gate (VERDICT r3 #4): label/part state ~32-40B/row
         state_broadcast = auto_state_broadcast(n, row_bytes=40, rows_override=broadcast_threshold)
-    edges = (g.by_dst(num_partitions) if state_broadcast else g.edges).select(
-        "src", "dst", "weight"
-    )
+    if mode == "csr":
+        edges = None  # |E|-scale jobs run over the staged blocks
+    else:
+        edges = (g.by_dst(num_partitions) if state_broadcast else g.edges).select(
+            "src", "dst", "weight"
+        )
     # shuffle mode: per-partition hash build on the (big-|V|) state
     # side, streaming the cached edges — avoids a per-round SMJ re-sort
     _maybe_bcast = F.broadcast if state_broadcast else (lambda df: df.hint("shuffle_hash"))
     total_edges = g.num_edges()  # directed count of the symmetrized graph
     capacity = total_edges * (1.0 + additional_capacity) / k_total
+
+    csr_fns = None
+    block_slot: list = [None]
+    lbl_slot: list = [None]
+    mv_slot: list = [None]
+    if mode == "csr":
+        from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+        from okapi_spark.plans.csr_blocks import (
+            choose_task_count, default_block_dir, stage_blocks,
+        )
+
+        epoch = next(_EPOCH_COUNTER)
+        k_tasks = choose_task_count(total_edges, num_partitions)
+        edges_by_pid = (
+            g.edges.select("src", "dst", "weight")
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
+        )
+
+        def ensure_staged() -> str:
+            if block_slot[0] is None:
+                block_slot[0] = default_block_dir(spark)
+                with no_adaptive(spark):
+                    staged = stage_blocks(
+                        edges_by_pid, num_partitions, _lpa_pack, "spin", epoch, block_slot[0]
+                    )
+                assert staged == total_edges, (
+                    f"staged {staged} edge rows != |E|={total_edges}"
+                )
+            return block_slot[0]
+
+        def hist_fn(st: DataFrame) -> DataFrame:
+            return _csr_label_hist(
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                st.select("id", F.col("part").cast("long").alias("lbl")),
+                lbl_slot, n_rows=n,
+            )
+
+        def active_fn(moved: DataFrame, n_moved: int) -> DataFrame:
+            return _csr_active_dsts(
+                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                moved, mv_slot, n_rows=n_moved,
+            )
+
+        csr_fns = (hist_fn, active_fn)
 
     # --- init + optional prior + repartition adaptation -------------------
     rand_part = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(k)).cast("int")
@@ -522,22 +678,37 @@ def spinner_partition(
 
     from contextlib import ExitStack, nullcontext
 
-    with ExitStack() as loop_ctx:
-        loop_ctx.enter_context(no_adaptive(spark) if state_broadcast else nullcontext())
-        state, rounds, converged, log = _spinner_loop(
-            spark, state, edges, _maybe_bcast, loads, capacity, lam, k_total,
-            max_iterations, threshold, window, seed, total_edges, _ceil3,
-        )
+    try:
+        with ExitStack() as loop_ctx:
+            loop_ctx.enter_context(
+                no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext()
+            )
+            state, rounds, converged, log = _spinner_loop(
+                spark, state, edges, _maybe_bcast, loads, capacity, lam, k_total,
+                max_iterations, threshold, window, seed, total_edges, _ceil3,
+                csr_fns=csr_fns,
+            )
+    finally:
+        if block_slot[0] is not None:
+            from okapi_spark.plans.csr_blocks import cleanup_blocks
+
+            cleanup_blocks(block_slot[0])
+    for slot in (lbl_slot, mv_slot):
+        if slot[0] is not None:
+            slot[0].destroy()
+            slot[0] = None
     return BSPResult(state.select("id", "part"), rounds, converged, log)
 
 
 def _spinner_loop(
     spark, state, edges, _maybe_bcast, loads, capacity, lam, k_total,
     max_iterations, threshold, window, seed, total_edges, _ceil3,
+    csr_fns=None,
 ):
     score_window: list[float] = []
     log: list[dict] = []
     moved_prev: DataFrame | None = None  # frontier: who migrated last round
+    n_moved_prev = 0
     total_migrations = 0
     converged = False
     rounds = 0
@@ -552,12 +723,15 @@ def _spinner_loop(
         h_star = lam - pf[l_star]
 
         # --- ComputeNewPartition (:292-313) -------------------------------
-        labels = state.select(F.col("id").alias("src"), F.col("part").alias("spart"))
-        hist = (
-            edges.join(_maybe_bcast(labels), "src")
-            .groupBy(F.col("dst").alias("id"), F.col("spart").alias("cand"))
-            .agg(F.sum("weight").alias("w"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if csr_fns is not None:
+            hist = csr_fns[0](state).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            labels = state.select(F.col("id").alias("src"), F.col("part").alias("spart"))
+            hist = (
+                edges.join(_maybe_bcast(labels), "src")
+                .groupBy(F.col("dst").alias("id"), F.col("spart").alias("cand"))
+                .agg(F.sum("weight").alias("w"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
 
         # normalize by the vertex's total label weight Σw (:264-268);
         # carry w so the local-edge counter (:186-204) folds into the
@@ -606,11 +780,14 @@ def _spinner_loop(
         # neighbor request migration (round 0: everyone, Initializer
         # messages all edges :425-466)
         if moved_prev is not None:
-            active = (
-                edges.join(_maybe_bcast(moved_prev.select(F.col("id").alias("src"))), "src")
-                .select(F.col("dst").alias("id"))
-                .distinct()
-            )
+            if csr_fns is not None:
+                active = csr_fns[1](moved_prev, n_moved_prev)
+            else:
+                active = (
+                    edges.join(_maybe_bcast(moved_prev.select(F.col("id").alias("src"))), "src")
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                )
             decided = decided.join(active.withColumn("act", F.lit(True)), "id", "left").select(
                 "id", "deg", "wdeg", "part", "w_cur", "h_now",
                 F.when(F.col("act").isNotNull(), F.col("want")).otherwise(F.col("part")).alias("want"),
@@ -683,6 +860,7 @@ def _spinner_loop(
         n_migrations = int(sum(r.mig for r in mig_rows))
         total_migrations += n_migrations
         moved_prev = migrated.filter(F.col("part") != F.col("old_part")).select("id")
+        n_moved_prev = n_migrations
 
         hist.unpersist()
         decided.unpersist()

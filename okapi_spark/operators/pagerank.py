@@ -372,7 +372,7 @@ def _gather_sorted_arrays(
                 arrays.append(pa.array([np.concatenate(vals[j])[o].astype(dt).tobytes()]))
             yield pa.RecordBatch.from_arrays(arrays, names=["ids"] + [f"v{j}" for j in range(len(names))])
 
-    schema = "ids binary, " + ", ".join(f"v{j} binary" for j in range(len(names)))
+    schema = ", ".join(["ids binary"] + [f"v{j} binary" for j in range(len(names))])
     blobs = df.select(F.col("id").cast("long").alias("id"), *names).mapInArrow(
         pack, schema
     ).collect()

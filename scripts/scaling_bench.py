@@ -113,7 +113,7 @@ else:
         t0 = time.time()
         res = spinner_partition(g, k=32, max_iterations=iters, threshold=0.0,
                                 num_partitions=cores,
-                                state_broadcast=state_broadcast)
+                                state_broadcast=state_broadcast, mode=op_mode)
     else:
         from okapi_spark.operators.pagerank import pagerank
         t0 = time.time()

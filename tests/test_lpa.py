@@ -306,3 +306,36 @@ def test_lpa_csr_byte_gate(spark):
 
     with _pytest.raises(ValueError, match="broadcast budget"):
         label_propagation(g, iterations=1, mode="csr", broadcast_threshold=3)
+
+
+def test_spinner_csr_matches_sql_full_protocol(spark, monkeypatch):
+    """mode='csr' runs the identical full Spinner protocol (scores,
+    active gating, hash-uniform migrations) as mode='sql' — the only
+    difference is the physical form of the two |E|-scale jobs — so
+    the final partition assignment must be bit-identical, across
+    partition counts and through several migration rounds."""
+    from okapi_spark.operators.lpa import spinner_partition
+    from okapi_spark.plans import csr_blocks
+
+    monkeypatch.setattr(csr_blocks, "_TARGET_BLOCK_ROWS", 16)
+    rng = np.random.RandomState(67)
+    edges = [
+        (int(s), int(d), float(w))
+        for s, d, w in zip(
+            rng.randint(0, 150, 700), rng.randint(0, 150, 700), rng.randint(1, 5, 700)
+        )
+        if s != d
+    ]
+    g = Graph.from_edges(toy_edges(spark, edges))
+    want = {
+        r.id: r.part
+        for r in spinner_partition(g, k=8, max_iterations=6, seed=5, mode="sql").state.collect()
+    }
+    for nparts in (4, 32):
+        got = {
+            r.id: r.part
+            for r in spinner_partition(
+                g, k=8, max_iterations=6, seed=5, mode="csr", num_partitions=nparts
+            ).state.collect()
+        }
+        assert got == want, f"csr p={nparts}"
