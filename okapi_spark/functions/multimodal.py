@@ -4,12 +4,14 @@ The container has no codec libraries (PIL/libjpeg/ffmpeg), so decode
 support splits honestly by what pure stdlib+NumPy can do: REAL
 end-to-end decode for OKPX/OKPA (the repo's raw containers), PNG
 (stdlib zlib inflate + scanline unfiltering — 8-bit gray/RGB/GA/RGBA,
-non-interlaced), baseline-sequential JPEG (ITU-T T.81: Huffman entropy
-decode + batched-NumPy dequant/IDCT, integer chroma subsampling,
-restart markers), uncompressed 24/32-bit BMP, binary netpbm (P5/P6),
-and RIFF/WAVE PCM16; formats that genuinely require a codec library
-(progressive JPEG, WebP, MP3, OGG, video) raise the
-NotImplementedError stub where the production codec would slot in. The Spark-side plumbing is real
+non-interlaced), sequential AND progressive JPEG (ITU-T T.81: Huffman
+entropy decode incl. Annex G spectral selection / successive
+approximation + batched-NumPy dequant/IDCT, integer chroma
+subsampling, restart markers), uncompressed 24/32-bit BMP, binary
+netpbm (P5/P6), and RIFF/WAVE PCM16; formats that genuinely require a
+codec library (arithmetic-coded JPEG, WebP, MP3, OGG, video) raise the
+NotImplementedError stub where the production codec would slot in.
+The Spark-side plumbing is real
 and tested either way: typed binary+metadata schema, Arrow-batched
 ``mapInPandas`` with bounded batch sizes, no driver collect, and a
 schema-stable feature-table contract.
@@ -189,7 +191,7 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     return body[: h * w * c].reshape(h, w, c)
 
 
-# --- baseline JPEG (ITU-T T.81, public spec) ---------------------------
+# --- JPEG, sequential + progressive (ITU-T T.81, public spec) ----------
 # Zigzag scan order generated from the spec's diagonal traversal rather
 # than transcribed, so it cannot be mistyped: natural index of the i-th
 # zigzag position.
@@ -244,32 +246,223 @@ def _jpeg_read_huff(bits: np.ndarray, pos: int, lut: dict) -> tuple[int, int]:
     raise ValueError("invalid JPEG Huffman code")
 
 
-def _jpeg_receive_extend(bits: np.ndarray, pos: int, t: int) -> tuple[int, int]:
-    """T.81 F.2.2.1 RECEIVE + EXTEND: t magnitude bits -> signed value."""
-    if t == 0:
-        return 0, pos
+def _jpeg_receive_bits(bits: np.ndarray, pos: int, t: int) -> tuple[int, int]:
+    """T.81 F.2.2.1 RECEIVE: t raw bits -> unsigned value."""
     if pos + t > bits.size:
         raise ValueError("JPEG entropy stream truncated mid-magnitude")
     v = 0
     for _ in range(t):
         v = (v << 1) | int(bits[pos])
         pos += 1
+    return v, pos
+
+
+def _jpeg_receive_extend(bits: np.ndarray, pos: int, t: int) -> tuple[int, int]:
+    """T.81 F.2.2.1 RECEIVE + EXTEND: t magnitude bits -> signed value."""
+    if t == 0:
+        return 0, pos
+    v, pos = _jpeg_receive_bits(bits, pos, t)
     if v < (1 << (t - 1)):
         v -= (1 << t) - 1
     return v, pos
 
 
+def _jpeg_split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded bytes into restart intervals,
+    unstuffing 0xFF00 as we go (T.81 B.1.1.5). Returns the intervals
+    and the offset of the marker that terminated the scan."""
+    intervals, cur, i = [], bytearray(), pos
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nb = payload[i + 1] if i + 1 < len(payload) else 0xD9
+        if nb == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nb <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif nb == 0xFF:
+            i += 1
+        else:  # EOI or next real marker ends the scan
+            break
+    intervals.append(bytes(cur))
+    return intervals, i
+
+
+def _jpeg_ac_first_block(block, bits, bpos, ac_lut, ss, se, al, eobrun):
+    """Progressive AC initial scan, one block (T.81 G.1.2.2): run-length
+    coded band [Ss..Se] at approximation Al, with EOB-run coding."""
+    if eobrun > 0:
+        return bpos, eobrun - 1
+    k = ss
+    while k <= se:
+        rs, bpos = _jpeg_read_huff(bits, bpos, ac_lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    v, bpos = _jpeg_receive_bits(bits, bpos, r)
+                    eobrun += v
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overrun")
+        v, bpos = _jpeg_receive_extend(bits, bpos, s)
+        block[k] = v << al
+        k += 1
+    return bpos, eobrun
+
+
+def _jpeg_ac_refine_block(block, bits, bpos, ac_lut, ss, se, al, eobrun):
+    """Progressive AC refinement scan, one block (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient, run-length codes
+    for newly-nonzero ones. Python's infinite-two's-complement ``&``
+    matches the spec's bit tests on negative coefficients."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs, bpos = _jpeg_read_huff(bits, bpos, ac_lut)
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s == 0:
+                if r < 15:
+                    # NOT (1<<r)-1: the current block is the first block
+                    # of the EOB run and still consumes its correction
+                    # bits below, where the run is decremented
+                    eobrun = 1 << r
+                    if r:
+                        v, bpos = _jpeg_receive_bits(bits, bpos, r)
+                        eobrun += v
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement symbol with s > 1")
+                b, bpos = _jpeg_receive_bits(bits, bpos, 1)
+                sval = p1 if b else m1
+            while k <= se:
+                if block[k] != 0:
+                    b, bpos = _jpeg_receive_bits(bits, bpos, 1)
+                    if b and not (int(block[k]) & p1):
+                        block[k] += p1 if block[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overrun")
+                block[k] = sval
+            k += 1
+    if eobrun > 0:
+        # EOB block: still carries correction bits for nonzero history
+        while k <= se:
+            if block[k] != 0:
+                b, bpos = _jpeg_receive_bits(bits, bpos, 1)
+                if b and not (int(block[k]) & p1):
+                    block[k] += p1 if block[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return bpos, eobrun
+
+
+def _jpeg_progressive_scan(scan, comps, coefs, hmax, vmax, mcus_x, mcus_y, h_img, w_img):
+    """Decode one progressive scan (T.81 Annex G) into the per-component
+    coefficient arrays. DC scans (Ss=0) may be interleaved; AC scans are
+    single-component and walk the component's own block raster."""
+    scan_comps, ss, se, ah, al, intervals, huff, dri = scan
+    interleaved = len(scan_comps) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan with Se != 0")
+    if ss > 0 and interleaved:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if interleaved:
+        units = mcus_x * mcus_y
+        bw_ = bh_ = 0
+    else:
+        ci0 = scan_comps[0][0]
+        _cid, ch, cv, _tq = comps[ci0]
+        bw_ = -(-(-(-w_img * ch // hmax)) // 8)  # ceil(comp_w / 8)
+        bh_ = -(-(-(-h_img * cv // vmax)) // 8)
+        units = bw_ * bh_
+    luts = []
+    for ci, td, ta in scan_comps:
+        lut = huff.get((0, td)) if ss == 0 else huff.get((1, ta))
+        # DC refinement (Ss=0, Ah>0) reads raw bits only — no table needed
+        if lut is None and not (ss == 0 and ah > 0):
+            raise ValueError("JPEG scan references undefined Huffman table")
+        luts.append(lut)
+    bits = np.unpackbits(np.frombuffer(intervals[0], np.uint8))
+    bpos, iidx = 0, 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    for u in range(units):
+        if dri and u and u % dri == 0:
+            iidx += 1
+            if iidx >= len(intervals):
+                raise ValueError("JPEG restart interval data missing")
+            bits = np.unpackbits(np.frombuffer(intervals[iidx], np.uint8))
+            bpos, preds, eobrun = 0, [0] * len(comps), 0
+        if ss == 0:  # DC scan
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                targets = []
+                for si, (ci, _td, _ta) in enumerate(scan_comps):
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            targets.append(
+                                (si, ci, coefs[ci][my * cv + by, mx * ch + bx])
+                            )
+            else:
+                si, ci = 0, scan_comps[0][0]
+                by, bx = divmod(u, bw_)
+                targets = [(si, ci, coefs[ci][by, bx])]
+            for si, ci, block in targets:
+                if ah == 0:
+                    t, bpos = _jpeg_read_huff(bits, bpos, luts[si])
+                    diff, bpos = _jpeg_receive_extend(bits, bpos, t)
+                    preds[ci] += diff
+                    block[0] = preds[ci] << al
+                else:  # DC refinement: one raw bit
+                    b, bpos = _jpeg_receive_bits(bits, bpos, 1)
+                    if b:
+                        block[0] |= 1 << al
+        else:  # AC scan, single component
+            by, bx = divmod(u, bw_)
+            block = coefs[scan_comps[0][0]][by, bx]
+            if ah == 0:
+                bpos, eobrun = _jpeg_ac_first_block(
+                    block, bits, bpos, luts[0], ss, se, al, eobrun
+                )
+            else:
+                bpos, eobrun = _jpeg_ac_refine_block(
+                    block, bits, bpos, luts[0], ss, se, al, eobrun
+                )
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Pure stdlib+NumPy baseline JPEG decode (the format is the public
-    ITU-T T.81 spec). Covers the baseline sequential DCT process:
-    8-bit precision, Huffman entropy coding (tables read from DHT, so
-    any conformant table set works, not just Annex K), 1- or
-    3-component scans, integer chroma subsampling (4:4:4 / 4:2:2 /
-    4:2:0 / ...), 8- and 16-bit DQT precision, and DRI/RSTn restart
-    intervals. Entropy decoding is per-symbol Python (inherent bit
-    serialism); dequantization, de-zigzag, and the 2-D IDCT are
-    batched NumPy over ALL blocks at once (einsum on the orthonormal
-    DCT basis). Progressive (SOF2), arithmetic coding, 12-bit, and
+    """Pure stdlib+NumPy JPEG decode (the format is the public ITU-T
+    T.81 spec). Covers the Huffman DCT processes: baseline/extended
+    sequential (SOF0/SOF1) and progressive (SOF2, spectral selection
+    AND successive approximation, T.81 Annex G) — 8-bit precision,
+    tables read from DHT (any conformant table set works, not just
+    Annex K), 1- or 3-component scans, integer chroma subsampling
+    (4:4:4 / 4:2:2 / 4:2:0 / ...), 8- and 16-bit DQT precision, and
+    DRI/RSTn restart intervals. Entropy decoding is per-symbol Python
+    (inherent bit serialism); dequantization, de-zigzag, and the 2-D
+    IDCT are batched NumPy over ALL blocks at once (einsum on the
+    orthonormal DCT basis). Arithmetic coding, 12-bit, lossless, and
     CMYK raise NotImplementedError — libjpeg-turbo slots in here for
     those profiles on a production image."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -277,8 +470,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None  # (H, W, [(comp_id, h, v, tq), ...])
+    progressive = False
     dri = 0
-    scan_comps = None  # [(comp_index, dc_table_id, ac_table_id), ...]
+    # (scan_comps, ss, se, ah, al, intervals, huff-snapshot, dri) per
+    # SOS; huff/dri are snapshotted because later DHT/DRI segments may
+    # redefine them between scans (T.81 B.2.4)
+    scans: list[tuple] = []
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -287,7 +484,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xFF:  # fill byte
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
         pos += 2
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no segment body
@@ -310,19 +507,23 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg, ">u2", 64, off).astype(np.int64)
                     off += 128
                 qt[tq] = tbl  # zigzag order, as stored
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline (+ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} needs libjpeg")
+            progressive = marker == 0xC2
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF component list truncated")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             sof = (h_img, w_img, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is built in; "
-                "progressive/arithmetic profiles need libjpeg"
+                "only Huffman sequential (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG are built in; arithmetic/lossless/hierarchical "
+                "profiles need libjpeg"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -346,41 +547,22 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((comp_ids.index(cs), tdta >> 4, tdta & 0xF))
-            pos += seg_len
-            break  # entropy-coded data begins
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            intervals, pos = _jpeg_split_entropy(payload, pos + seg_len)
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 0xF, intervals, dict(huff), dri)
+            )
+            continue  # pos already sits on the scan-terminating marker
         pos += seg_len
-    if sof is None or scan_comps is None:
+    if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     h_img, w_img, comps = sof
     if len(comps) not in (1, 3):
         raise NotImplementedError(
             f"{len(comps)}-component JPEG (CMYK/unknown) needs libjpeg"
         )
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan JPEG needs libjpeg")
-
-    # Split the entropy-coded bytes into restart intervals, unstuffing
-    # 0xFF00 as we go (T.81 B.1.1.5).
-    intervals, cur, i = [], bytearray(), pos
-    while i < len(payload):
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nb = payload[i + 1] if i + 1 < len(payload) else 0xD9
-        if nb == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nb <= 0xD7:
-            intervals.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        elif nb == 0xFF:
-            i += 1
-        else:  # EOI or next real marker ends the scan
-            break
-    intervals.append(bytes(cur))
+    if not progressive and (len(scans) != 1 or len(scans[0][0]) != len(comps)):
+        raise NotImplementedError("multi-scan sequential JPEG needs libjpeg")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -392,43 +574,50 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
         for (_cid, h, v, _tq) in comps
     ]
-    bits = np.unpackbits(np.frombuffer(intervals[0], np.uint8))
-    bpos, interval_idx = 0, 0
-    preds = [0] * len(comps)
-    for m in range(n_mcus):
-        if dri and m and m % dri == 0:
-            interval_idx += 1
-            if interval_idx >= len(intervals):
-                raise ValueError("JPEG restart interval data missing")
-            bits = np.unpackbits(np.frombuffer(intervals[interval_idx], np.uint8))
-            bpos, preds = 0, [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, td, ta in scan_comps:
-            _cid, ch, cv, _tq = comps[ci]
-            dc_lut, ac_lut = huff.get((0, td)), huff.get((1, ta))
-            if dc_lut is None or ac_lut is None:
-                raise ValueError("JPEG scan references undefined Huffman table")
-            for by in range(cv):
-                for bx in range(ch):
-                    block = coefs[ci][my * cv + by, mx * ch + bx]
-                    t, bpos = _jpeg_read_huff(bits, bpos, dc_lut)
-                    diff, bpos = _jpeg_receive_extend(bits, bpos, t)
-                    preds[ci] += diff
-                    block[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs, bpos = _jpeg_read_huff(bits, bpos, ac_lut)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if rs == 0xF0:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overrun")
-                        block[k], bpos = _jpeg_receive_extend(bits, bpos, s)
-                        k += 1
+    if progressive:
+        for scan in scans:
+            _jpeg_progressive_scan(
+                scan, comps, coefs, hmax, vmax, mcus_x, mcus_y, h_img, w_img
+            )
+    else:
+        scan_comps, _ss, _se, _ah, _al, intervals, shuff, sdri = scans[0]
+        bits = np.unpackbits(np.frombuffer(intervals[0], np.uint8))
+        bpos, interval_idx = 0, 0
+        preds = [0] * len(comps)
+        for m in range(n_mcus):
+            if sdri and m and m % sdri == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    raise ValueError("JPEG restart interval data missing")
+                bits = np.unpackbits(np.frombuffer(intervals[interval_idx], np.uint8))
+                bpos, preds = 0, [0] * len(comps)
+            my, mx = divmod(m, mcus_x)
+            for ci, td, ta in scan_comps:
+                _cid, ch, cv, _tq = comps[ci]
+                dc_lut, ac_lut = shuff.get((0, td)), shuff.get((1, ta))
+                if dc_lut is None or ac_lut is None:
+                    raise ValueError("JPEG scan references undefined Huffman table")
+                for by in range(cv):
+                    for bx in range(ch):
+                        block = coefs[ci][my * cv + by, mx * ch + bx]
+                        t, bpos = _jpeg_read_huff(bits, bpos, dc_lut)
+                        diff, bpos = _jpeg_receive_extend(bits, bpos, t)
+                        preds[ci] += diff
+                        block[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs, bpos = _jpeg_read_huff(bits, bpos, ac_lut)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if rs == 0xF0:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            block[k], bpos = _jpeg_receive_extend(bits, bpos, s)
+                            k += 1
 
     # Dequantize + de-zigzag + batched IDCT per component, then
     # upsample to full resolution.
@@ -469,11 +658,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """bytes -> HxWxC uint8. REAL decode, pure NumPy/stdlib, for: the
     OKPX raw container, PNG (stdlib zlib inflate + scanline
-    unfiltering), baseline-sequential JPEG (Huffman + batched-NumPy
-    IDCT), uncompressed 24/32-bit BMP, and binary netpbm (P5/P6).
-    Formats that genuinely require a codec library (progressive JPEG,
-    WebP, ...) raise the documented stub — libjpeg/PIL slots in here
-    on a production image."""
+    unfiltering), sequential and progressive Huffman JPEG
+    (batched-NumPy IDCT), uncompressed 24/32-bit BMP, and binary
+    netpbm (P5/P6). Formats that genuinely require a codec library
+    (arithmetic JPEG, WebP, ...) raise the documented stub —
+    libjpeg/PIL slots in here on a production image."""
     if payload is not None and payload[:4] == _IMG_MAGIC:
         if len(payload) < 10:  # magic(4) + <BHHB header(6)
             raise ValueError(f"OKPX header truncated: {len(payload)} bytes")

@@ -542,13 +542,10 @@ def _jpeg_quality_scale(tbl, quality):
     return np.clip((np.array(tbl, dtype=np.int64) * scale + 50) // 100, 1, 255)
 
 
-def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
-    """Minimal test-side baseline JPEG encoder (spec-forward: forward
-    DCT + Annex K tables) so the library decoder is exercised against
-    independently built bytes. Supports gray (HxW) and RGB (HxWx3),
-    4:4:4 or 4:2:0 chroma, and DRI/RSTn restart intervals."""
-    import struct
-
+def _jpeg_quantize(px, quality, subsample):
+    """Shared encoder front half: color transform, subsampling, forward
+    DCT, quantization. Returns (gray, h_img, w_img, samp, qzig,
+    quantized-blocks-per-component, mcus_x, mcus_y)."""
     import numpy as np
 
     from okapi_spark.functions.multimodal import _DCT_C, _ZIGZAG
@@ -603,6 +600,23 @@ def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
         freq = np.einsum("ij,rcjk,kl->rcil", _DCT_C, blocks, _DCT_C.T)
         qt = qnat[0 if ci == 0 else 1].reshape(8, 8)
         quantized.append(np.round(freq / qt).astype(np.int64))
+    return gray, h_img, w_img, samp, qzig, quantized, mcus_x, mcus_y
+
+
+def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
+    """Minimal test-side baseline JPEG encoder (spec-forward: forward
+    DCT + Annex K tables) so the library decoder is exercised against
+    independently built bytes. Supports gray (HxW) and RGB (HxWx3),
+    4:4:4 or 4:2:0 chroma, and DRI/RSTn restart intervals."""
+    import struct
+
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import _ZIGZAG
+
+    gray, h_img, w_img, samp, qzig, quantized, mcus_x, mcus_y = _jpeg_quantize(
+        px, quality, subsample
+    )
 
     dc_codes = [_jpeg_codes(*_DC_L), _jpeg_codes(*_DC_C)]
     ac_codes = [_jpeg_codes(*_AC_L), _jpeg_codes(*_AC_C)]
@@ -635,7 +649,7 @@ def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
         return int(zz[0])
 
     bw = _JpegBitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(quantized)
     entropy = bytearray()
     rst = 0
     for m in range(mcus_x * mcus_y):
@@ -644,7 +658,7 @@ def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
             entropy += bw.out + bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             bw = _JpegBitWriter()
-            preds = [0] * len(planes)
+            preds = [0] * len(quantized)
         my, mx = divmod(m, mcus_x)
         for ci, (sh, sv) in enumerate(samp):
             tid = 0 if ci == 0 else 1
@@ -661,7 +675,7 @@ def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * ntab)
     for t in range(ntab):
         out += bytes([t]) + bytes(int(x) for x in qzig[t])
-    ncomp = len(planes)
+    ncomp = len(quantized)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
     for ci, (sh, sv) in enumerate(samp):
         out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
@@ -677,6 +691,241 @@ def _encode_jpeg(px, quality=90, subsample="444", restart_interval=0):
         out += bytes([ci + 1, td_ta])
     out += b"\x00\x3f\x00"
     out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+# Flat AC Huffman table for the progressive test encoder: every symbol
+# we can emit — (r<<4)|s for s<=10 plus the EOB-run symbols (nb<<4) and
+# ZRL — at a fixed 8-bit code (176 symbols < 255, so the all-ones code
+# stays unused as T.81 C.2 requires). Annex K tables lack the EOB-run
+# symbols progressive scans need, and the decoder reads tables from
+# DHT anyway.
+_AC_FLAT_SYMS = [x for x in range(256) if (x & 0xF) <= 10]
+_AC_FLAT = ([0] * 7 + [len(_AC_FLAT_SYMS)] + [0] * 8, _AC_FLAT_SYMS)
+
+
+def _encode_jpeg_progressive(px, quality=90, subsample="444"):
+    """Test-side progressive (SOF2) encoder: spectral selection AND
+    successive approximation (T.81 Annex G), so the library decoder's
+    DC-first / DC-refine / AC-first (EOB runs) / AC-refine (correction
+    bits) paths are all exercised against independently built bytes.
+
+    Scan script: DC first interleaved (Al=1); per component AC first
+    over split bands 1-5 and 6-63 at Al=2; DC refine (Ah=1,Al=0); per
+    component AC refine of both bands at Ah=2→Al=1 then Ah=1→Al=0.
+    Every coefficient bit reaches Al=0, so decoding MUST reproduce the
+    baseline decode of the same quantized coefficients exactly."""
+    import struct
+
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import _ZIGZAG
+
+    gray, h_img, w_img, samp, qzig, quantized, mcus_x, mcus_y = _jpeg_quantize(
+        px, quality, subsample
+    )
+    ncomp = len(quantized)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_codes = _jpeg_codes(*_DC_L)
+    ac_codes = _jpeg_codes(*_AC_FLAT)
+
+    def extend_bits(v, t):
+        return v if v >= 0 else v + (1 << t) - 1
+
+    def comp_grid(ci):
+        # the non-interleaved block raster the decoder walks:
+        # ceil(ceil(dim*sampling/max)/8) per axis (T.81 A.2.2)
+        sh, sv = samp[ci]
+        bw_ = -(-(-(-w_img * sh // hmax)) // 8)
+        bh_ = -(-(-(-h_img * sv // vmax)) // 8)
+        return bw_, bh_
+
+    def zz_block(ci, by, bx):
+        return quantized[ci][by, bx].reshape(64)[_ZIGZAG]
+
+    def dc_first_scan(al):
+        bwr = _JpegBitWriter()
+        preds = [0] * ncomp
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        val = int(quantized[ci][my * sv + by, mx * sh + bx][0, 0]) >> al
+                        diff = val - preds[ci]
+                        preds[ci] = val
+                        t = abs(diff).bit_length()
+                        code, length = dc_codes[t]
+                        bwr.put(code, length)
+                        if t:
+                            bwr.put(extend_bits(diff, t), t)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def dc_refine_scan(al):
+        bwr = _JpegBitWriter()
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        c = int(quantized[ci][my * sv + by, mx * sh + bx][0, 0])
+                        bwr.put((c >> al) & 1, 1)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        bw_, bh_ = comp_grid(ci)
+        bwr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, length = ac_codes[nb << 4]
+                bwr.put(code, length)
+                if nb:
+                    bwr.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for u in range(bw_ * bh_):
+            by, bx = divmod(u, bw_)
+            zz = zz_block(ci, by, bx)
+            vals = [
+                (1 if int(zz[k]) >= 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(vals) if v != 0]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    bwr.put(code, length)
+                    r -= 16
+                s = abs(v).bit_length()
+                code, length = ac_codes[(r << 4) | s]
+                bwr.put(code, length)
+                bwr.put(extend_bits(v, s), s)
+                r = 0
+            if nz[-1] < len(vals) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def ac_refine_scan(ci, ss, se, al):
+        # T.81 G.1.2.3 encoder side (the libjpeg AC-refine algorithm):
+        # correction bits for history-nonzero coefficients are buffered
+        # and emitted after the next run/EOB symbol, in position order.
+        bw_, bh_ = comp_grid(ci)
+        bwr = _JpegBitWriter()
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, length = ac_codes[nb << 4]
+                bwr.put(code, length)
+                if nb:
+                    bwr.put(eobrun - (1 << nb), nb)
+                for b in be_bits:
+                    bwr.put(b, 1)
+                eobrun, be_bits = 0, []
+
+        for u in range(bw_ * bh_):
+            by, bx = divmod(u, bw_)
+            zz = zz_block(ci, by, bx)
+            raw = [int(zz[k]) for k in range(ss, se + 1)]
+            absv = [abs(v) >> al for v in raw]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    code, length = ac_codes[0xF0]
+                    bwr.put(code, length)
+                    r -= 16
+                    for b in br:
+                        bwr.put(b, 1)
+                    br = []
+                if t > 1:  # history-nonzero: correction bit only
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                code, length = ac_codes[(r << 4) | 1]
+                bwr.put(code, length)
+                bwr.put(1 if raw[i] > 0 else 0, 1)
+                for b in br:
+                    bwr.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def sos(comp_list, ss, se, ah, al):
+        seg = struct.pack(">HB", 6 + 2 * len(comp_list), len(comp_list))
+        for cid, td, ta in comp_list:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + seg
+
+    all_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
+    scans = [(sos(all_comps, 0, 0, 0, 1), dc_first_scan(1))]
+    for ci in range(ncomp):
+        one = [(ci + 1, 0, 0)]
+        scans.append((sos(one, 1, 5, 0, 2), ac_first_scan(ci, 1, 5, 2)))
+        scans.append((sos(one, 6, 63, 0, 2), ac_first_scan(ci, 6, 63, 2)))
+    scans.append((sos(all_comps, 0, 0, 1, 0), dc_refine_scan(0)))
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(ncomp):
+            one = [(ci + 1, 0, 0)]
+            scans.append((sos(one, 1, 5, ah, al), ac_refine_scan(ci, 1, 5, al)))
+            scans.append((sos(one, 6, 63, ah, al), ac_refine_scan(ci, 6, 63, al)))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    ntab = 1 if gray else 2
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * ntab)
+    for t in range(ntab):
+        out += bytes([t]) + bytes(int(x) for x in qzig[t])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    for tc, th, (bits, vals) in ((0, 0, _DC_L), (1, 0, _AC_FLAT)):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    for header, entropy in scans:
+        out += header + entropy
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -730,6 +979,46 @@ def test_jpeg_roundtrip_420_with_restart_markers():
     assert _psnr(out, px) > 28.0
 
 
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) with spectral selection + successive
+    approximation refined down to Al=0 carries exactly the same
+    quantized coefficients as the baseline encoding — so the decodes
+    must be bit-identical, not merely close."""
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    px = _smooth_test_image(41, 53)
+    base = decode_image(_encode_jpeg(px, quality=90, subsample="444"))
+    payload = _encode_jpeg_progressive(px, quality=90, subsample="444")
+    assert payload[3] == 0xE0 and b"\xff\xc2" in payload  # SOF2 present
+    prog = decode_image(payload)
+    assert np.array_equal(prog, base)
+    assert _psnr(prog, px) > 33.0
+
+
+def test_jpeg_progressive_420_gray_and_sparse():
+    import numpy as np
+
+    from okapi_spark.functions.multimodal import decode_image
+
+    px = _smooth_test_image(35, 49, seed=5)
+    base = decode_image(_encode_jpeg(px, quality=85, subsample="420"))
+    prog = decode_image(_encode_jpeg_progressive(px, quality=85, subsample="420"))
+    assert np.array_equal(prog, base)
+
+    gray = px[:, :, 0]
+    bg = decode_image(_encode_jpeg(gray, quality=92))
+    pg = decode_image(_encode_jpeg_progressive(gray, quality=92))
+    assert np.array_equal(pg, bg)
+
+    # low quality → mostly-zero bands → long EOB runs and ZRL paths
+    px3 = _smooth_test_image(64, 80, seed=11)
+    b3 = decode_image(_encode_jpeg(px3, quality=25, subsample="420"))
+    p3 = decode_image(_encode_jpeg_progressive(px3, quality=25, subsample="420"))
+    assert np.array_equal(p3, b3)
+
+
 def test_jpeg_gray_and_constant_color():
     import numpy as np
 
@@ -753,10 +1042,23 @@ def test_jpeg_unsupported_and_truncated():
 
     from okapi_spark.functions.multimodal import decode_image
 
-    # progressive (SOF2) is an honest stub, not a wrong answer
-    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8, 8, 16, 16, 1)
+    # arithmetic-coded (SOF9) is an honest stub, not a wrong answer
+    # (progressive SOF2 is decoded for real since round 5)
+    sof9 = b"\xff\xd8\xff\xc9" + struct.pack(">HBHHB", 8, 8, 16, 16, 1)
     with _pytest.raises(NotImplementedError):
+        decode_image(sof9)
+    # progressive stream truncated before any SOS fails loudly, as
+    # does an SOF whose component list is cut off mid-segment
+    sof2 = (
+        b"\xff\xd8\xff\xc2"
+        + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with _pytest.raises(ValueError):
         decode_image(sof2)
+    sof2_cut = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8, 8, 16, 16, 1)
+    with _pytest.raises(ValueError):
+        decode_image(sof2_cut)
     # truncated entropy stream fails loudly with ValueError
     px = _smooth_test_image(16, 16)
     payload = _encode_jpeg(px, quality=90)
