@@ -67,17 +67,20 @@ def main() -> None:
     elif args.algorithm == "components":
         from okapi_spark.operators.components import connected_components
 
-        res = connected_components(g, max_supersteps=args.max_supersteps, store=store)
+        res = connected_components(g, max_supersteps=args.max_supersteps,
+                                   mode=args.mode, store=store)
         out_df = res.state
     elif args.algorithm == "lpa":
         from okapi_spark.operators.lpa import label_propagation
 
-        res = label_propagation(g, max_supersteps=args.max_supersteps, store=store)
+        res = label_propagation(g, max_supersteps=args.max_supersteps,
+                                mode=args.mode, store=store)
         out_df = res.state
     elif args.algorithm == "spinner":
         from okapi_spark.operators.lpa import spinner_partition
 
-        res = spinner_partition(g, k=args.k, max_iterations=args.max_supersteps)
+        res = spinner_partition(g, k=args.k, max_iterations=args.max_supersteps,
+                                mode=args.mode)
         out_df = res.state
     else:
         from okapi_spark.operators.triangles import triangle_count_per_vertex
