@@ -56,11 +56,33 @@ def _canonical(graph: Graph) -> DataFrame:
     )
 
 
-def _oriented(graph: Graph) -> DataFrame:
+def _oriented(
+    graph: Graph, deg_broadcast: bool | None = None
+) -> tuple[DataFrame, list[DataFrame]]:
     """Degree-ordered orientation of the canonical edge set: one row
     per unordered pair {a, b}, directed (u → v) with (deg(u), u) <
     (deg(v), v), carrying deg(v) for downstream ordering of wedge
-    endpoints. Degree = undirected neighbor count."""
+    endpoints. Degree = undirected neighbor count.
+
+    Returns ``(oriented, [deg_handle])`` — the degree table is
+    persisted (it feeds both join legs and the broadcast gate's count)
+    and must be released by the caller once the oriented set is
+    materialized.
+
+    The two degree lookups are BROADCAST joins when the |V|-row table
+    fits the byte budget (plans/broadcast.py) — orientation then adds
+    ZERO |E|-row exchanges on top of the one map-side-combined degree
+    groupBy. The executor-JVM scaling decomposition (BENCH.md r5
+    triangles min-of-4) measured the shuffle_hash orientation at 0.31
+    marginal efficiency — pinned at this chassis's raw-shuffle ceiling
+    (control: 0.343) — because it re-exchanged the edge set twice.
+    Past the budget (|V| ≳ 8M at 32B/row) the shuffle_hash fallback
+    builds on the degree side and streams the edges (SMJ would sort
+    the edge set twice)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from okapi_spark.plans.broadcast import auto_state_broadcast
+
     e = _canonical(graph)
     if graph.symmetric_distinct:
         # both directions present exactly once ⇒ out-degree == degree,
@@ -73,18 +95,24 @@ def _oriented(graph: Graph) -> DataFrame:
             .groupBy("x")
             .agg(F.count("*").alias("d"))
         )
-    # shuffle_hash: build on the |V|-row degree side, stream the edges
-    # (SMJ would sort the edge set twice)
-    j = (
-        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")).hint("shuffle_hash"), "u")
-        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")).hint("shuffle_hash"), "v")
-    )
+    # persist: the |V|-row table feeds both join legs (and the gate's
+    # count action) — one edge-set pass instead of one per leg
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    if deg_broadcast is None:
+        deg_broadcast = auto_state_broadcast(deg.count(), row_bytes=32)
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    if deg_broadcast:
+        j = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    else:
+        j = e.join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
     flip = F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("du"), F.col("u"))
-    return j.select(
+    oriented = j.select(
         F.when(flip, F.col("v")).otherwise(F.col("u")).alias("u"),
         F.when(flip, F.col("u")).otherwise(F.col("v")).alias("v"),
         F.when(flip, F.col("du")).otherwise(F.col("dv")).alias("dv"),
     )
+    return oriented, [deg]
 
 
 def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
@@ -98,17 +126,37 @@ def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
     return tri
 
 
-def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, DataFrame]:
-    """(triangles, oriented_handle) — the handle is the persisted
-    oriented edge set; callers that fully consume the triangle plan in
-    one action must unpersist it afterwards."""
+class _OrientedHandle:
+    """Persisted-state handle for a triangle plan: the oriented edge
+    set plus the degree table backing it. ``count()`` materializes the
+    oriented set (phase-1 boundary for the scaling bench);
+    ``unpersist()`` releases everything."""
+
+    def __init__(self, oriented: DataFrame, extras: list[DataFrame]):
+        self._o = oriented
+        self._extras = extras
+
+    def count(self) -> int:
+        return self._o.count()
+
+    def unpersist(self) -> None:
+        self._o.unpersist()
+        for df in self._extras:
+            df.unpersist()
+
+
+def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, _OrientedHandle]:
+    """(triangles, oriented_handle) — the handle owns the persisted
+    oriented edge set (+ degree table); callers that fully consume the
+    triangle plan in one action must unpersist it afterwards."""
     from pyspark.storagelevel import StorageLevel
 
     # the oriented set feeds THREE plan legs (both wedge sides + the
     # closing semi-join); uncached it is recomputed per leg — its
     # canonical-distinct + degree joins dominated the whole job
     # (measured 65s of a 238s run, ×3) — so materialize it once
-    o = _oriented(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    o_df, extras = _oriented(graph)
+    o = o_df.persist(StorageLevel.MEMORY_AND_DISK)
     wedges_parts = []
     for c in range(chunks):
         e1 = o.alias("e1")
@@ -145,7 +193,7 @@ def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, DataFrame
     tri = tri.select(
         ids[0].alias("low"), ids[1].alias("mid"), ids[2].alias("high")
     )
-    return tri, o
+    return tri, _OrientedHandle(o, extras)
 
 
 def triangle_count(graph: Graph, chunks: int = 1) -> int:

@@ -161,3 +161,49 @@ def test_lpa_csr_kernel_plan_zero_exchange_zero_edge_scan(spark):
         if slot[0] is not None:
             slot[0].destroy()
         cleanup_blocks(block_dir)
+
+
+def test_triangle_orientation_broadcast_plan(spark):
+    """With the degree table inside the byte budget, orientation must
+    add ZERO exchanges beyond the (map-side-combined) degree groupBy:
+    both degree lookups are broadcast joins against the persisted
+    |V|-row table, so the edge set is never re-exchanged. The
+    shuffle_hash fallback was measured at 0.31 marginal scaling
+    efficiency on executor JVMs — the chassis's raw-shuffle ceiling —
+    precisely because it exchanged the edge set twice (BENCH.md r5
+    triangles decomposition)."""
+    from okapi_spark.operators.triangles import _canonical, _oriented
+    from okapi_spark.plans.inspect import plan_node_names
+
+    e = generate_edges(spark, 20_000, 1_000)
+    sym = e.select("src", "dst").filter("src < dst").distinct()
+    sym = sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    g = Graph.from_edges(sym, symmetric_distinct=True)
+    g.edges.count()
+
+    o, extras = _oriented(g)  # auto gate: 1k vertices -> broadcast
+    names = plan_node_names(o)
+    assert sum("BroadcastHashJoin" in n for n in names) == 2, names
+    assert not any("ShuffledHashJoin" in n or "SortMergeJoin" in n for n in names), names
+    # symmetric_distinct canonical is a pure filter; the degree groupBy
+    # reads the persisted (already materialized by the gate's count)
+    # degree table, so the executing path carries no exchange at all
+    assert count_exchanges(o) == 0, plan_node_names(o)
+    for d in extras:
+        d.unpersist()
+
+
+def test_triangle_orientation_broadcast_equiv(spark):
+    """Broadcast and shuffle_hash orientation paths must produce the
+    identical oriented edge set (same rows, same carried deg)."""
+    from okapi_spark.operators.triangles import _oriented
+
+    e = generate_edges(spark, 20_000, 1_000)
+    g = Graph.from_edges(e)
+    o_b, ex_b = _oriented(g, deg_broadcast=True)
+    o_s, ex_s = _oriented(g, deg_broadcast=False)
+    rows_b = sorted(tuple(r) for r in o_b.collect())
+    rows_s = sorted(tuple(r) for r in o_s.collect())
+    assert rows_b == rows_s and len(rows_b) > 0
+    for d in ex_b + ex_s:
+        d.unpersist()
