@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 
 from okapi_spark.graph.graph import Graph
 
+# One-shot plans pay the serial driver-side broadcast-relation build
+# against only TWO join uses (vs hundreds for per-superstep state
+# broadcasts), so their economic budget is far below the 256MB
+# iterative default — 64MB (≈2M vertices) per the measured A/B in
+# BENCH.md "Triangle orientation broadcast A/B".
+ONE_SHOT_BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
+
 
 def _canonical(graph: Graph) -> DataFrame:
     """Undirected canonical edge set: one row per unordered pair {u,v}.
@@ -70,15 +77,27 @@ def _oriented(
     materialized.
 
     The two degree lookups are BROADCAST joins when the |V|-row table
-    fits the byte budget (plans/broadcast.py) — orientation then adds
-    ZERO |E|-row exchanges on top of the one map-side-combined degree
-    groupBy. The executor-JVM scaling decomposition (BENCH.md r5
-    triangles min-of-4) measured the shuffle_hash orientation at 0.31
-    marginal efficiency — pinned at this chassis's raw-shuffle ceiling
-    (control: 0.343) — because it re-exchanged the edge set twice.
-    Past the budget (|V| ≳ 8M at 32B/row) the shuffle_hash fallback
-    builds on the degree side and streams the edges (SMJ would sort
-    the edge set twice)."""
+    fits the ONE-SHOT byte budget (64MB ≈ 2M vertices at 32B/row) —
+    orientation then adds ZERO |E|-row exchanges on top of the one
+    map-side-combined degree groupBy, and Spark's ReuseExchange dedupes
+    the two builds into one (structurally asserted in test_plans.py).
+
+    The one-shot budget is deliberately 4× tighter than the iterative
+    operators' 256MB state-broadcast budget, and it is MEASURED, not
+    assumed (BENCH.md "Triangle orientation broadcast A/B"): a
+    per-superstep broadcast amortizes its serial driver-side relation
+    build over many rounds, but this plan uses it exactly twice — at
+    |V| = 6M (192MB relation, 60M-edge run) the build made orientation
+    ~2× SLOWER than the shuffle path on both 2 and 8 executor JVMs,
+    while at gate/bench shapes (|V| ≤ 240k) the broadcast wins
+    outright. Past the budget the shuffle_hash fallback builds on the
+    degree side and streams the edges (SMJ would sort the edge set
+    twice); it re-exchanges the edge set once per endpoint — the
+    provable minimum for annotating both endpoint degrees without a
+    broadcast — and is pinned at the chassis raw-shuffle ceiling in
+    the scaling decomposition (0.31-0.36 vs control 0.343). Callers
+    with edge-exchange-dominated shapes (|E|/|V| ≫ 12, where the
+    measured crossover sits) can force ``deg_broadcast=True``."""
     from pyspark.storagelevel import StorageLevel
 
     from okapi_spark.plans.broadcast import auto_state_broadcast
@@ -99,7 +118,9 @@ def _oriented(
     # count action) — one edge-set pass instead of one per leg
     deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     if deg_broadcast is None:
-        deg_broadcast = auto_state_broadcast(deg.count(), row_bytes=32)
+        deg_broadcast = auto_state_broadcast(
+            deg.count(), row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES
+        )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     if deg_broadcast:

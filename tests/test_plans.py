@@ -185,6 +185,12 @@ def test_triangle_orientation_broadcast_plan(spark):
     names = plan_node_names(o)
     assert sum("BroadcastHashJoin" in n for n in names) == 2, names
     assert not any("ShuffledHashJoin" in n or "SortMergeJoin" in n for n in names), names
+    # the two degree lookups broadcast the SAME persisted table —
+    # ReuseExchange must dedupe the serial driver-side relation build
+    # (one BroadcastExchange, one ReusedExchange), so the build cost
+    # in the one-shot budget model is paid once
+    full = o._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in full, full
     # symmetric_distinct canonical is a pure filter; the degree groupBy
     # reads the persisted (already materialized by the gate's count)
     # degree table, so the executing path carries no exchange at all
