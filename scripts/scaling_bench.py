@@ -50,7 +50,17 @@ if mode == "jvms":
                       executor_mem=f"{mem_mb}m")
 else:
     spark = get_spark(cores=cores, shuffle_partitions=cores, app_name=f"scale{cores}")
-n_vertices = n_edges // 10 if job == "triangles" else max(1000, n_edges // 5000)
+if job == "triangles":
+    n_vertices = n_edges // 10
+elif job == "components":
+    # sparser than the CSR stress shape (|V| = |E|/20): HashMin's cost
+    # profile is frontier-size-driven, and at |E|/5000 the 48k-vertex
+    # state makes superstep 1 trivially broadcast-bound; |E|/20 keeps
+    # the first full-|E| scatter the dominant, honest term while the
+    # state broadcast (16B/row) stays inside the 256MB budget at 240M
+    n_vertices = n_edges // 20
+else:
+    n_vertices = max(1000, n_edges // 5000)
 e = generate_edges(spark, n_edges, n_vertices=n_vertices)
 if job == "triangles":
     # production shape: the engine's link graphs come out of
@@ -98,6 +108,43 @@ if job == "triangles":
            "edges_per_sec_per_superstep": round(m / wall, 1),
            "edges_per_sec_median": round(m / wall, 1),
            "superstep_sec": round(wall, 2), "median_superstep_sec": round(wall, 3)}
+elif job == "components":
+    # HashMin converges in 2-4 supersteps on the power-law input (the
+    # hub floods the min label in one hop, measured: 3 supersteps at
+    # |V|=|E|/20), so the x12 jobs' per-superstep-index estimator has
+    # almost nothing to measure after the 3-warm drop. Time-to-fixpoint
+    # is the honest basis for a convergence-halting operator; JIT warm
+    # is paid by one untimed identical run (triangles protocol), and
+    # each rep clears the superseded persisted edge layout so rep 2
+    # does not time against a half-spilled cache.
+    from okapi_spark.operators.components import connected_components
+
+    def _cc_run():
+        t0 = time.time()
+        res = connected_components(g, num_partitions=cores,
+                                   state_broadcast=state_broadcast, mode=op_mode)
+        res.state.count()
+        w = time.time() - t0
+        ss = [round(x["superstep_sec"], 2) for x in res.metrics_log]
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return w, ss
+
+    _cc_run()  # untimed JIT/codegen warm-up
+    walls, ss_logs = [], []
+    for _rep in range(2):
+        w, ss = _cc_run()
+        walls.append(w)
+        ss_logs.append(ss)
+    wall = min(walls)
+    nss = len(ss_logs[0])
+    out = {"cores": cores, "edges": m, "job": job, "wall_sec": round(wall, 2),
+           "supersteps": nss, "warm_walls": [round(w, 2) for w in walls],
+           "per_superstep_logs": ss_logs,
+           "edges_per_sec_per_superstep": round(m * nss / wall, 1),
+           "edges_per_sec_median": round(m * nss / wall, 1),
+           "superstep_sec": round(wall, 2),
+           "median_superstep_sec": round(wall / max(1, nss), 3)}
 else:
     if job == "lpa":
         from okapi_spark.operators.lpa import label_propagation
@@ -243,7 +290,12 @@ def main() -> None:
               "scaling_efficiency_minss": eff_minss,
               "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(result, indent=2))
-    label = f"{job} x{iters}" if job != "triangles" else "triangles (one-shot)"
+    if job == "triangles":
+        label = "triangles (one-shot)"
+    elif job == "components":
+        label = "components (to fixpoint)"
+    else:
+        label = f"{job} x{iters}"
     est = f"min-of-{repeats}" if repeats > 1 else "single run"
     if mode == "jvms":
         mem_mb = int(os.environ.get("OKAPI_EXEC_MEM_MB", "12288"))
