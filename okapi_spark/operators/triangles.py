@@ -42,6 +42,16 @@ from okapi_spark.graph.graph import Graph
 # BENCH.md "Triangle orientation broadcast A/B".
 ONE_SHOT_BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
 
+# The ARRAY orientation path broadcasts two packed int64 numpy arrays
+# (sorted ids + degrees, 16B/vertex) via sc.broadcast's torrent
+# transport instead of a BroadcastHashJoin relation: no driver-side
+# hash-relation build (the serial floor the A/B measured at |V|=6M),
+# ~2x smaller payload, and the lookup is a vectorized searchsorted in
+# mapInArrow. That cheaper floor buys it a 4x wider budget: 256MB ≈
+# 16M vertices. Past this, the shuffle_hash fallback remains the
+# cluster-scale plan (nothing |V|-sized ships anywhere).
+ONE_SHOT_ARRAY_BUDGET_BYTES = 256 * 1024 * 1024
+
 
 def _canonical(graph: Graph) -> DataFrame:
     """Undirected canonical edge set: one row per unordered pair {u,v}.
@@ -63,9 +73,20 @@ def _canonical(graph: Graph) -> DataFrame:
     )
 
 
+class _BroadcastHandle:
+    """Adapter so a ``sc.broadcast`` rides the oriented-plan extras
+    list (whose members are released via ``unpersist()``)."""
+
+    def __init__(self, b):
+        self._b = b
+
+    def unpersist(self) -> None:
+        self._b.destroy()
+
+
 def _oriented(
-    graph: Graph, deg_broadcast: bool | None = None
-) -> tuple[DataFrame, list[DataFrame]]:
+    graph: Graph, deg_broadcast: bool | str | None = None
+) -> tuple[DataFrame, list]:
     """Degree-ordered orientation of the canonical edge set: one row
     per unordered pair {a, b}, directed (u → v) with (deg(u), u) <
     (deg(v), v), carrying deg(v) for downstream ordering of wedge
@@ -97,7 +118,14 @@ def _oriented(
     broadcast — and is pinned at the chassis raw-shuffle ceiling in
     the scaling decomposition (0.31-0.36 vs control 0.343). Callers
     with edge-exchange-dominated shapes (|E|/|V| ≫ 12, where the
-    measured crossover sits) can force ``deg_broadcast=True``."""
+    measured crossover sits) can force ``deg_broadcast=True``.
+
+    Between the two budgets sits the ARRAY mode
+    (``deg_broadcast="array"``, auto-gated at 16B/vertex vs 256MB):
+    a packed numpy degree array through ``sc.broadcast`` + vectorized
+    ``searchsorted`` in ``mapInArrow`` — still zero edge exchanges but
+    without the driver-side hash-relation build that made the
+    relation broadcast lose at |V| = 6M (see ``_oriented_array``)."""
     from pyspark.storagelevel import StorageLevel
 
     from okapi_spark.plans.broadcast import auto_state_broadcast
@@ -118,9 +146,15 @@ def _oriented(
     # count action) — one edge-set pass instead of one per leg
     deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     if deg_broadcast is None:
-        deg_broadcast = auto_state_broadcast(
-            deg.count(), row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES
-        )
+        n = deg.count()
+        if auto_state_broadcast(n, row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES):
+            deg_broadcast = True
+        elif auto_state_broadcast(n, row_bytes=16, budget_bytes=ONE_SHOT_ARRAY_BUDGET_BYTES):
+            deg_broadcast = "array"
+        else:
+            deg_broadcast = False
+    if deg_broadcast == "array":
+        return _oriented_array(graph, e, deg)
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     if deg_broadcast:
@@ -134,6 +168,55 @@ def _oriented(
         F.when(flip, F.col("du")).otherwise(F.col("dv")).alias("dv"),
     )
     return oriented, [deg]
+
+
+def _oriented_array(graph: Graph, e: DataFrame, deg: DataFrame) -> tuple[DataFrame, list]:
+    """Zero-exchange orientation via a packed-array degree broadcast.
+
+    The |V|-row degree table is gathered executor-side into two sorted
+    int64 numpy arrays (ids, degrees — the same ``mapInArrow`` pack
+    PageRank's csr gather uses, pagerank.py:_gather_sorted_arrays) and
+    shipped once through ``sc.broadcast`` torrent transport. The
+    orientation itself is then a map: each Arrow batch of canonical
+    (u, v) rows looks both degrees up with a vectorized
+    ``np.searchsorted`` and emits the flipped row — no edge exchange,
+    no driver-side hash-relation build (the two serial floors the
+    measured A/B attributed the broadcast plan's 2x absolute loss to at
+    |V|=6M, BENCH.md "Triangle orientation broadcast A/B").
+
+    Total order is identical to the join paths: (deg, id) ascending,
+    so the three modes produce the same oriented set (equivalence
+    pytest)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+
+    ids, (degs,) = _gather_sorted_arrays(
+        deg.select(F.col("x").alias("id"), "d"), deg.count(), [("d", "int64")]
+    )
+    sc = graph.edges.sparkSession.sparkContext
+    b = sc.broadcast((ids, degs))
+
+    def orient(batches):
+        bids, bdegs = b.value
+        for batch in batches:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            du = bdegs[np.searchsorted(bids, u)]
+            dv = bdegs[np.searchsorted(bids, v)]
+            flip = (dv < du) | ((dv == du) & (v < u))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.where(flip, v, u)),
+                    pa.array(np.where(flip, u, v)),
+                    pa.array(np.where(flip, du, dv)),
+                ],
+                names=["u", "v", "dv"],
+            )
+
+    oriented = e.mapInArrow(orient, "u long, v long, dv long")
+    return oriented, [deg, _BroadcastHandle(b)]
 
 
 def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:

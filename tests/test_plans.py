@@ -200,16 +200,57 @@ def test_triangle_orientation_broadcast_plan(spark):
 
 
 def test_triangle_orientation_broadcast_equiv(spark):
-    """Broadcast and shuffle_hash orientation paths must produce the
-    identical oriented edge set (same rows, same carried deg)."""
+    """Broadcast, shuffle_hash, and packed-array orientation paths must
+    produce the identical oriented edge set (same rows, same carried
+    deg) — the (deg, id) total order is shared by all three."""
     from okapi_spark.operators.triangles import _oriented
 
     e = generate_edges(spark, 20_000, 1_000)
     g = Graph.from_edges(e)
     o_b, ex_b = _oriented(g, deg_broadcast=True)
     o_s, ex_s = _oriented(g, deg_broadcast=False)
+    o_a, ex_a = _oriented(g, deg_broadcast="array")
     rows_b = sorted(tuple(r) for r in o_b.collect())
     rows_s = sorted(tuple(r) for r in o_s.collect())
-    assert rows_b == rows_s and len(rows_b) > 0
-    for d in ex_b + ex_s:
+    rows_a = sorted(tuple(r) for r in o_a.collect())
+    assert rows_b == rows_s == rows_a and len(rows_b) > 0
+    for d in ex_b + ex_s + ex_a:
+        d.unpersist()
+
+
+def test_triangle_orientation_array_plan(spark):
+    """The packed-array orientation (the mid-band auto mode, 64MB <
+    |V|-relation ≤ 256MB array) must execute with ZERO exchanges and
+    ZERO joins: the degree lookup rides a numpy sc.broadcast into
+    mapInArrow, so the canonical edge scan maps straight to the
+    oriented set."""
+    from okapi_spark.operators.triangles import _canonical, _oriented
+    from okapi_spark.plans.inspect import plan_node_names
+
+    e = generate_edges(spark, 20_000, 1_000)
+    sym = e.select("src", "dst").filter("src < dst").distinct()
+    sym = sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    g = Graph.from_edges(sym, symmetric_distinct=True)
+    g.edges.count()
+
+    o, extras = _oriented(g, deg_broadcast="array")
+    names = plan_node_names(o)
+    assert not any("Join" in n for n in names), names
+    assert count_exchanges(o) == 0, names
+    # end-to-end through the triangle plan: counts must match the
+    # auto (broadcast-at-this-|V|) plan
+    from okapi_spark.operators.triangles import triangle_count
+
+    expected = triangle_count(g)
+    e1 = o.alias("e1")
+    w = e1.join(
+        o.alias("e2").hint("shuffle_hash"),
+        (F.col("e1.u") == F.col("e2.u"))
+        & (F.struct(F.col("e1.dv"), F.col("e1.v")) < F.struct(F.col("e2.dv"), F.col("e2.v"))),
+        "inner",
+    ).select(F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c")).hint("shuffle_hash")
+    got = w.join(closing, ["b", "c"], "left_semi").count()
+    assert got == expected > 0
+    for d in extras:
         d.unpersist()
