@@ -87,6 +87,20 @@ def _q_triangle_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(g)
 
 
+def _q_triangle_total_csr(spark, sf_dir):
+    """Same exact count through the mode='csr' physical plan
+    (triangles.py `_triangle_count_csr`: resident staged pivot-CSR +
+    sorted membership-key blocks, wedges enumerated and probed inside
+    one zero-exchange mapInPandas job — nothing wedge-sized is ever
+    shuffled) — hash-checked against the same 3-way-join DuckDB
+    oracle as triangle_total."""
+    from okapi_spark.operators.triangles import triangle_count
+
+    g = _graph(spark, sf_dir)
+    n = triangle_count(g, mode="csr")
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
 def _q_connected_components(spark, sf_dir):
     from okapi_spark.operators.components import connected_components
 
@@ -573,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-graph suite (flagship four + friends)
         "degree": _q_degree,
         "triangle_total": _q_triangle_total,
+        "triangle_total_csr": _q_triangle_total_csr,
         "triangle_per_vertex": _q_triangle_per_vertex,
         "connected_components": _q_connected_components,
         "connected_components_csr": _q_connected_components_csr,
@@ -1288,6 +1303,11 @@ def oracle_sql() -> dict[str, str]:
     return out | {
         "degree": "WITH " + _EDGES_CTE + "\nSELECT id, degree FROM deg",
         "triangle_total": (
+            "WITH " + _EDGES_CTE + """
+SELECT COUNT(*) AS n_triangles
+FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+        ),
+        "triangle_total_csr": (
             "WITH " + _EDGES_CTE + """
 SELECT COUNT(*) AS n_triangles
 FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst"""

@@ -300,13 +300,333 @@ def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, _Oriented
     return tri, _OrientedHandle(o, extras)
 
 
-def triangle_count(graph: Graph, chunks: int = 1) -> int:
-    """Total unique triangles."""
+def triangle_count(
+    graph: Graph,
+    chunks: int = 1,
+    mode: str = "sql",
+    num_partitions: int | None = None,
+    block_dir: str | None = None,
+) -> int:
+    """Total unique triangles.
+
+    ``mode="sql"`` (default): the two-join wedge plan above.
+    ``mode="csr"``: resident staged-block kernel (see
+    ``_triangle_count_csr``) — same count, zero wedge shuffle."""
+    if mode == "csr":
+        n, _phases = _triangle_count_csr(
+            graph, num_partitions=num_partitions, block_dir=block_dir
+        )
+        return n
     tri, o = _triangles_plan(graph, chunks)
     try:
         return tri.count()
     finally:
         o.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# mode="csr": resident staged-block triangle counting
+# ---------------------------------------------------------------------------
+#
+# The sql plan's scale cost is the WEDGE EXCHANGE: the Σ C(out(v),2)
+# wedge rows (≈ |E|·avg_outdeg — 600M rows / ~14GB at the 60M-edge
+# scaling shape) are shuffled into the closing semi-join's hash probe.
+# The csr mode never materializes a wedge row in Spark at all: after
+# the SAME degree-ordered orientation, two one-pass staging jobs write
+#
+#   * pivot blocks  (pid = hash(u) % P): per-pivot out-neighbor CSR,
+#     neighbors sorted by the orientation's (deg, id) total order —
+#     so wedge pair (i < j) of a segment is ALREADY the oriented
+#     closing edge (n_i → n_j); and
+#   * membership blocks (pid = key % P): the oriented edge set as a
+#     sorted int64 key array, key = u·M + v with M = max_id + 1,
+#
+# as memmapped ``.npy`` files (plans/csr_blocks.py — the OS page cache
+# is the shared per-node block cache). The count is then ONE
+# zero-exchange P-row ``mapInPandas`` job: each task enumerates its
+# pivot segments' out-pairs in vectorized NumPy (degree-bucketed
+# repeat/gather; hub pivots fall back to tail slices so no O(d²)
+# index table is built for d ≈ √E) and membership-probes the closing
+# keys with ``np.searchsorted`` into the sorted key blocks — wedges
+# live only in registers/L2, nothing |wedges|-sized is ever exchanged,
+# written, or even held in memory (bounded ``_PROBE_CHUNK`` slabs).
+#
+# Deployment envelope (documented, gated): every node must be able to
+# page-cache the |E|·8B membership keys (60M edges = 480MB; 10⁹ edges
+# = 8GB — the classic per-node-adjacency regime), and ids must pack a
+# pair into int64: (max_id+1)² < 2⁶³, else they are densified to
+# [0, |V|) via a sorted-id broadcast + searchsorted remap (gated at
+# the 256MB budget ≈ 32M vertices — strictly inside the membership
+# envelope). Past either limit the sql plan remains the cluster-scale
+# path, exactly like the other operators' csr/sql mode splits.
+
+# probe slab size: bounds kernel working memory at ~3·8B·4M ≈ 100MB
+# per task while keeping each searchsorted call long enough to
+# amortize its setup
+_PROBE_CHUNK = 4_000_000
+# degree-bucket vectorized path cap: C(d,2) index tables above ~4M
+# pairs would cost O(d²) memory per bucket; hubs (d up to O(√E) under
+# degree orientation) take the per-(segment, i) tail-slice path whose
+# python-loop count is Σ_hub d_hub ≪ wedge count
+_PAIR_BUCKET_CAP = 1 << 22
+
+
+def _tri_wedge_pack(pdf):
+    """Per-partition pivot CSR (runs once inside ``stage_blocks``):
+    out-neighbors of each pivot u, sorted by the orientation's
+    (deg(v), v) total order so in-segment pair (i < j) IS the oriented
+    closing edge (n_i → n_j)."""
+    import numpy as np
+
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    dv = pdf["dv"].to_numpy(np.int64)
+    order = np.lexsort((v, dv, u))  # primary u, then dv, then v
+    u, v = u[order], v[order]
+    _, start = np.unique(u, return_index=True)
+    indptr = np.append(start, u.size).astype(np.int64)
+    return {"indptr": indptr, "nbr": v}
+
+
+def _tri_member_pack(pdf):
+    """Sorted membership-key block: key = u·M + v (computed Spark-side
+    so staging stays one select + repartition)."""
+    import numpy as np
+
+    return {"keys": np.sort(pdf["key"].to_numpy(np.int64))}
+
+
+def _probe_membership(keys, P: int, epoch: int, block_dir: str) -> int:
+    """How many of ``keys`` exist in the staged membership blocks:
+    route each key to block key % P, binary-search the block's sorted
+    array. Every task may open every membership block — the memmap
+    pages are shared node-wide through the OS page cache."""
+    import numpy as np
+
+    from okapi_spark.plans.csr_blocks import load_block
+
+    hits = 0
+    blkid = keys % P
+    for p in np.unique(blkid):
+        mblk = load_block("trim", epoch, int(p), block_dir)
+        if mblk is None:
+            continue
+        karr = mblk["keys"]
+        probes = keys[blkid == p]
+        pos = np.searchsorted(karr, probes)
+        ok = pos < karr.size
+        if ok.any():
+            hits += int(np.count_nonzero(np.asarray(karr[pos[ok]]) == probes[ok]))
+    return hits
+
+
+def _count_wedge_block(indptr, nbr, M: int, P: int, epoch: int, block_dir: str) -> int:
+    """Closed-wedge count of one pivot block: enumerate out-pairs per
+    segment (degree-bucketed vectorized gather; hub tail-slices past
+    ``_PAIR_BUCKET_CAP``), buffer closing keys into ``_PROBE_CHUNK``
+    slabs, membership-probe each slab."""
+    import numpy as np
+
+    indptr = np.asarray(indptr)
+    nbr = np.asarray(nbr)
+    deg = np.diff(indptr)
+    starts = indptr[:-1]
+    state = {"buf": [], "buffered": 0, "hits": 0}
+
+    def flush():
+        if not state["buf"]:
+            return
+        keys = (
+            np.concatenate(state["buf"]) if len(state["buf"]) > 1 else state["buf"][0]
+        )
+        state["buf"], state["buffered"] = [], 0
+        state["hits"] += _probe_membership(keys, P, epoch, block_dir)
+
+    def push(keys):
+        state["buf"].append(keys)
+        state["buffered"] += keys.size
+        if state["buffered"] >= _PROBE_CHUNK:
+            flush()
+
+    for d in np.unique(deg).tolist():
+        d = int(d)
+        if d < 2:
+            continue
+        segs = starts[deg == d]
+        npairs = d * (d - 1) // 2
+        if npairs <= _PAIR_BUCKET_CAP:
+            i_idx, j_idx = np.triu_indices(d, k=1)
+            step = max(1, _PROBE_CHUNK // npairs)
+            for s0 in range(0, segs.size, step):
+                ss = segs[s0 : s0 + step, None]
+                b = nbr[ss + i_idx[None, :]].ravel().astype(np.int64)
+                c = nbr[ss + j_idx[None, :]].ravel().astype(np.int64)
+                push(b * M + c)
+        else:
+            for s in segs.tolist():
+                seg = np.asarray(nbr[s : s + d], dtype=np.int64)
+                for i in range(d - 1):
+                    push(seg[i] * M + seg[i + 1 :])
+    flush()
+    return state["hits"]
+
+
+def _tri_csr_kernel(M: int, P: int, epoch: int, block_dir: str):
+    def kernel(pdfs):
+        import pandas as pd
+
+        from okapi_spark.plans.csr_blocks import load_block
+
+        total = 0
+        for pdf in pdfs:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("triw", epoch, int(pid), block_dir)
+                if blk is None:
+                    continue
+                total += _count_wedge_block(
+                    blk["indptr"], blk["nbr"], M, P, epoch, block_dir
+                )
+        yield pd.DataFrame({"n": [total]})
+
+    return kernel
+
+
+def _triangle_count_csr(
+    graph: Graph,
+    num_partitions: int | None = None,
+    block_dir: str | None = None,
+) -> tuple[int, dict]:
+    """(count, phase_timings) — see the mode="csr" block comment."""
+    import time
+
+    from pyspark.storagelevel import StorageLevel
+
+    from okapi_spark.bsp import no_adaptive
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+    from okapi_spark.plans.csr_blocks import (
+        choose_task_count,
+        cleanup_blocks,
+        default_block_dir,
+        pid_frame,
+        stage_blocks,
+    )
+
+    spark = graph.edges.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    epoch = next(_EPOCH_COUNTER)
+    own_dir = block_dir is None
+
+    t0 = time.time()
+    o_df, extras = _oriented(graph)
+    o = o_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        row = o.agg(
+            F.max("u"), F.max("v"), F.min("u"), F.min("v"), F.count("*")
+        ).collect()[0]
+        m = int(row[4])
+        if m == 0:
+            return 0, {"orient_sec": round(time.time() - t0, 2),
+                       "stage_sec": 0.0, "probe_sec": 0.0}
+        mx = max(int(row[0]), int(row[1]))
+        mn = min(int(row[2]), int(row[3]))
+        M = mx + 1
+        bmap = None
+        if mn < 0 or M * M - 1 >= (1 << 63):
+            # hashed/sparse ids (e.g. induce_edges' xxhash64-derived
+            # vertex ids span the full signed-64 range): densify to
+            # [0, |V|) with a sorted-id broadcast + vectorized
+            # searchsorted — the same packed-array transport the
+            # orientation uses. |V|·8B must clear the broadcast
+            # budget (32M vertices at the 256MB default), which is
+            # strictly smaller than the mode's existing per-node
+            # |E|·8B membership-key envelope; past it, sql remains
+            # the cluster-scale plan.
+            from okapi_spark.operators.pagerank import _gather_sorted_arrays
+            from okapi_spark.plans.broadcast import auto_state_broadcast
+
+            deg = extras[0]  # |V|-row (x, d) degree table, persisted by _oriented
+            nv = deg.count()
+            if not auto_state_broadcast(nv, row_bytes=8):
+                raise ValueError(
+                    f"mode='csr' packs edge {{u,v}} into an int64 key "
+                    f"u*(max_id+1)+v; id range [{mn}, {mx}] does not fit and "
+                    f"|V|={nv} exceeds the densify-remap broadcast budget — "
+                    "remap ids to a dense non-negative range first, or use "
+                    "mode='sql'."
+                )
+            ids_arr, _unused = _gather_sorted_arrays(
+                deg.select(F.col("x").alias("id"), "d"), nv, [("d", "int64")]
+            )
+            bmap = spark.sparkContext.broadcast(ids_arr)
+
+            def _remap(batches):
+                import numpy as np
+                import pyarrow as pa
+
+                sids = bmap.value
+                for batch in batches:
+                    u = batch.column("u").to_numpy(zero_copy_only=False)
+                    v = batch.column("v").to_numpy(zero_copy_only=False)
+                    dv = batch.column("dv").to_numpy(zero_copy_only=False)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.searchsorted(sids, u)),
+                            pa.array(np.searchsorted(sids, v)),
+                            pa.array(dv),
+                        ],
+                        names=["u", "v", "dv"],
+                    )
+
+            o2 = o.mapInArrow(_remap, "u long, v long, dv long").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            o2.count()
+            o.unpersist()
+            o = o2
+            M = int(nv)
+        t1 = time.time()
+        if own_dir:
+            block_dir = default_block_dir(spark)
+        try:
+            with no_adaptive(spark):
+                w = o.withColumn(
+                    "pid", F.pmod(F.xxhash64("u"), F.lit(P)).cast("int")
+                ).repartition(P, "pid")
+                staged_w = stage_blocks(w, P, _tri_wedge_pack, "triw", epoch, block_dir)
+                mem = (
+                    o.select((F.col("u") * F.lit(M) + F.col("v")).alias("key"))
+                    .withColumn("pid", F.pmod(F.col("key"), F.lit(P)).cast("int"))
+                    .repartition(P, "pid")
+                )
+                staged_m = stage_blocks(
+                    mem, P, _tri_member_pack, "trim", epoch, block_dir
+                )
+            assert staged_w == m and staged_m == m, (
+                f"staged {staged_w}/{staged_m} rows != oriented |E|={m}"
+            )
+            t2 = time.time()
+            k_tasks = choose_task_count(m, P)
+            total = (
+                pid_frame(spark, P, k_tasks)
+                .mapInPandas(_tri_csr_kernel(M, P, epoch, block_dir), "n long")
+                .agg(F.sum("n"))
+                .collect()[0][0]
+            )
+            t3 = time.time()
+        finally:
+            if own_dir:
+                cleanup_blocks(block_dir)
+            if bmap is not None:
+                bmap.destroy()
+        return int(total or 0), {
+            "orient_sec": round(t1 - t0, 2),
+            "stage_sec": round(t2 - t1, 2),
+            "probe_sec": round(t3 - t2, 2),
+        }
+    finally:
+        o.unpersist()
+        for df in extras:
+            df.unpersist()
 
 
 def triangle_count_per_vertex(graph: Graph, chunks: int = 1) -> DataFrame:

@@ -82,25 +82,38 @@ m = g.num_edges()
 spark.sparkContext._jvm.System.gc()  # drain setup garbage before timing
 
 if job == "triangles":
-    from okapi_spark.operators.triangles import triangle_count, _triangles_plan
+    from okapi_spark.operators.triangles import (
+        triangle_count, _triangles_plan, _triangle_count_csr,
+    )
     # Warm-up pass (untimed): the iterative jobs drop their first 3
     # supersteps because a fresh JVM pays whole-stage-codegen C2
     # compilation + allocator warm-up inside them; the one-shot
     # triangle job has no supersteps to drop, so run the identical job
     # once untimed first. On a long-lived cluster (the north rule's
     # deployment) the JIT'd code cache is already hot.
-    n_tri = triangle_count(g)
     walls, phase_logs = [], []
-    for _rep in range(2):
-        t0 = time.time()
-        tri, o = _triangles_plan(g)
-        o.count()  # phase 1: canonicalize + degree joins + orient + persist
-        t1 = time.time()
-        n_tri = tri.count()  # phase 2: wedge join + closing semi-join
-        t2 = time.time()
-        o.unpersist()
-        walls.append(t2 - t0)
-        phase_logs.append({"orient_sec": round(t1 - t0, 2), "join_sec": round(t2 - t1, 2)})
+    if op_mode == "csr":
+        # resident staged-block kernel: orientation + two staging
+        # passes + one zero-exchange probe job (triangles.py
+        # _triangle_count_csr); phases come from the operator itself
+        n_tri, _ = _triangle_count_csr(g, num_partitions=cores)
+        for _rep in range(2):
+            t0 = time.time()
+            n_tri, ph = _triangle_count_csr(g, num_partitions=cores)
+            walls.append(time.time() - t0)
+            phase_logs.append(ph)
+    else:
+        n_tri = triangle_count(g)
+        for _rep in range(2):
+            t0 = time.time()
+            tri, o = _triangles_plan(g)
+            o.count()  # phase 1: canonicalize + degree joins + orient + persist
+            t1 = time.time()
+            n_tri = tri.count()  # phase 2: wedge join + closing semi-join
+            t2 = time.time()
+            o.unpersist()
+            walls.append(t2 - t0)
+            phase_logs.append({"orient_sec": round(t1 - t0, 2), "join_sec": round(t2 - t1, 2)})
     wall = min(walls)
     out = {"cores": cores, "edges": m, "job": job, "wall_sec": round(wall, 2),
            "triangles": n_tri, "warm_walls": [round(w, 2) for w in walls],

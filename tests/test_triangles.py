@@ -82,3 +82,73 @@ def test_symmetric_distinct_fast_path_matches(spark):
     sf = sorted(tuple(r) for r in semimetric_edges(g_fast).collect())
     ss = sorted(tuple(r) for r in semimetric_edges(g_slow).collect())
     assert sf == ss
+
+
+def test_triangle_count_csr_matches_sql(spark):
+    """mode='csr' (resident staged blocks, zero wedge exchange) must
+    count exactly what the sql wedge-join plan counts — toy fixture,
+    oracle graph, and both canonicalization paths; invariant to the
+    block-partition count (8 vs 32) and to hub pivots crossing the
+    _PAIR_BUCKET_CAP tail-slice path."""
+    g = Graph.from_edges(toy_edges(spark, FIVE_VERTEX))
+    assert triangle_count(g, mode="csr") == 2
+
+    rng = np.random.default_rng(7)
+    n = 80
+    edges = []
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            if rng.random() < 0.12:
+                edges.append((i, j, 1.0))
+    g = Graph.from_edges(toy_edges(spark, edges))
+    want_total, _ = triangle_oracle([(s, d) for s, d, _ in edges])
+    assert triangle_count(g, mode="csr", num_partitions=8) == want_total
+    assert triangle_count(g, mode="csr", num_partitions=32) == want_total
+
+    # hub star + clique: pivot out-degree above a forced tiny bucket
+    # cap exercises the per-(segment, i) tail-slice path
+    from okapi_spark.operators import triangles as T
+
+    hub_edges = [(1, j, 1.0) for j in range(2, 40)] + [
+        (i, j, 1.0) for i in range(2, 10) for j in range(i + 1, 10)
+    ]
+    gh = Graph.from_edges(toy_edges(spark, hub_edges))
+    want = triangle_count(gh)
+    old = T._PAIR_BUCKET_CAP
+    T._PAIR_BUCKET_CAP = 3
+    try:
+        assert triangle_count(gh, mode="csr") == want
+    finally:
+        T._PAIR_BUCKET_CAP = old
+
+
+def test_triangle_count_csr_hashed_ids_densify(spark, monkeypatch):
+    """ids whose pair key cannot pack into int64 (hashed ids, negative
+    ids — the induce_edges xxhash64 domain) are densified to [0, |V|)
+    via the sorted-id broadcast remap and still count exactly; when
+    |V| exceeds the remap broadcast budget the mode refuses with the
+    documented remap-or-sql message instead of overflowing silently."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(3)
+    base = []
+    for i in range(1, 50):
+        for j in range(i + 1, 50):
+            if rng.random() < 0.2:
+                base.append((i, j))
+    want_total, _ = triangle_oracle(base)
+    # scatter ids across the full signed-64 range (xxhash64 of the id)
+    df = spark.createDataFrame(base, "a long, b long").select(
+        F.xxhash64("a").alias("src"), F.xxhash64("b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = Graph.from_edges(df)
+    assert triangle_count(g, mode="csr") == want_total
+    assert triangle_count(g) == want_total  # sql agrees on hashed ids too
+
+    # force the remap broadcast gate shut: must refuse, not overflow
+    from okapi_spark.plans import broadcast as B
+
+    monkeypatch.setattr(B, "auto_state_broadcast", lambda *a, **k: False)
+    with pytest.raises(ValueError, match="remap ids"):
+        triangle_count(g, mode="csr")
