@@ -331,23 +331,30 @@ def triangle_count(
 # The sql plan's scale cost is the WEDGE EXCHANGE: the Σ C(out(v),2)
 # wedge rows (≈ |E|·avg_outdeg — 600M rows / ~14GB at the 60M-edge
 # scaling shape) are shuffled into the closing semi-join's hash probe.
-# The csr mode never materializes a wedge row in Spark at all: after
-# the SAME degree-ordered orientation, two one-pass staging jobs write
+# The csr mode never materializes a wedge row in Spark at all. One
+# staging pass partitions the degree-ordered oriented set by pivot
+# (pid = u % P — u is dense non-negative here, see the id envelope
+# below) and packs each partition as a memmapped block
+# (plans/csr_blocks.py — the OS page cache is the shared per-node
+# block cache) holding BOTH faces of the same edges:
 #
-#   * pivot blocks  (pid = hash(u) % P): per-pivot out-neighbor CSR,
-#     neighbors sorted by the orientation's (deg, id) total order —
-#     so wedge pair (i < j) of a segment is ALREADY the oriented
-#     closing edge (n_i → n_j); and
-#   * membership blocks (pid = key % P): the oriented edge set as a
-#     sorted int64 key array, key = u·M + v with M = max_id + 1,
+#   * indptr/nbr: per-pivot out-neighbor CSR, neighbors sorted by the
+#     orientation's (deg, id) total order — so wedge pair (i < j) of
+#     a segment is ALREADY the oriented closing edge (n_i → n_j); and
+#   * mkeys: the block's edges as a sorted int64 key array
+#     key = u·M + v (M = max_id + 1) — the membership index, routed
+#     from a probe key by (key // M) % P with no second exchange.
 #
-# as memmapped ``.npy`` files (plans/csr_blocks.py — the OS page cache
-# is the shared per-node block cache). The count is then ONE
+# The orientation itself is never materialized: |E|, max/min id come
+# from the |V|-row degree table (Σdeg = 2·|E_canonical|), so the
+# staging exchange is the oriented set's ONLY consumer and the
+# canonicalize → degree-annotate → orient maps FUSE into its map
+# side — one |E|-scale exchange total. The count is then ONE
 # zero-exchange P-row ``mapInPandas`` job: each task enumerates its
 # pivot segments' out-pairs in vectorized NumPy (degree-bucketed
 # repeat/gather; hub pivots fall back to tail slices so no O(d²)
 # index table is built for d ≈ √E) and membership-probes the closing
-# keys with ``np.searchsorted`` into the sorted key blocks — wedges
+# keys with ``np.searchsorted`` into the blocks' mkeys — wedges
 # live only in registers/L2, nothing |wedges|-sized is ever exchanged,
 # written, or even held in memory (bounded ``_PROBE_CHUNK`` slabs).
 #
@@ -371,47 +378,42 @@ _PROBE_CHUNK = 4_000_000
 _PAIR_BUCKET_CAP = 1 << 22
 
 
-def _tri_wedge_pack(pdf):
-    """Per-partition pivot CSR (runs once inside ``stage_blocks``):
-    out-neighbors of each pivot u, sorted by the orientation's
-    (deg(v), v) total order so in-segment pair (i < j) IS the oriented
-    closing edge (n_i → n_j)."""
+def _tri_wedge_pack(pdf, M: int):
+    """Per-partition pivot block (runs once inside ``stage_blocks``),
+    both faces of the partition's edges: out-neighbor CSR with
+    neighbors sorted by the orientation's (deg(v), v) total order —
+    so in-segment pair (i < j) IS the oriented closing edge
+    (n_i → n_j) — and the sorted u·M+v membership keys ``mkeys``
+    (sorting the combined key = sorting by (u, v))."""
     import numpy as np
 
     u = pdf["u"].to_numpy(np.int64)
     v = pdf["v"].to_numpy(np.int64)
     dv = pdf["dv"].to_numpy(np.int64)
+    mkeys = np.sort(u * M + v)
     order = np.lexsort((v, dv, u))  # primary u, then dv, then v
     u, v = u[order], v[order]
     _, start = np.unique(u, return_index=True)
     indptr = np.append(start, u.size).astype(np.int64)
-    return {"indptr": indptr, "nbr": v}
+    return {"indptr": indptr, "nbr": v, "mkeys": mkeys}
 
 
-def _tri_member_pack(pdf):
-    """Sorted membership-key block: key = u·M + v (computed Spark-side
-    so staging stays one select + repartition)."""
-    import numpy as np
-
-    return {"keys": np.sort(pdf["key"].to_numpy(np.int64))}
-
-
-def _probe_membership(keys, P: int, epoch: int, block_dir: str) -> int:
-    """How many of ``keys`` exist in the staged membership blocks:
-    route each key to block key % P, binary-search the block's sorted
-    array. Every task may open every membership block — the memmap
+def _probe_membership(keys, M: int, P: int, epoch: int, block_dir: str) -> int:
+    """How many of ``keys`` exist in the oriented edge set: route each
+    key to the pivot block (key // M) % P, binary-search that block's
+    sorted ``mkeys``. Every task may open every block — the memmap
     pages are shared node-wide through the OS page cache."""
     import numpy as np
 
     from okapi_spark.plans.csr_blocks import load_block
 
     hits = 0
-    blkid = keys % P
+    blkid = (keys // M) % P
     for p in np.unique(blkid):
-        mblk = load_block("trim", epoch, int(p), block_dir)
+        mblk = load_block("triw", epoch, int(p), block_dir)
         if mblk is None:
             continue
-        karr = mblk["keys"]
+        karr = mblk["mkeys"]
         probes = keys[blkid == p]
         pos = np.searchsorted(karr, probes)
         ok = pos < karr.size
@@ -440,7 +442,7 @@ def _count_wedge_block(indptr, nbr, M: int, P: int, epoch: int, block_dir: str) 
             np.concatenate(state["buf"]) if len(state["buf"]) > 1 else state["buf"][0]
         )
         state["buf"], state["buffered"] = [], 0
-        state["hits"] += _probe_membership(keys, P, epoch, block_dir)
+        state["hits"] += _probe_membership(keys, M, P, epoch, block_dir)
 
     def push(keys):
         state["buf"].append(keys)
@@ -499,8 +501,6 @@ def _triangle_count_csr(
     """(count, phase_timings) — see the mode="csr" block comment."""
     import time
 
-    from pyspark.storagelevel import StorageLevel
-
     from okapi_spark.bsp import no_adaptive
     from okapi_spark.operators.pagerank import _EPOCH_COUNTER
     from okapi_spark.plans.csr_blocks import (
@@ -511,41 +511,47 @@ def _triangle_count_csr(
         stage_blocks,
     )
 
+    import functools
+
     spark = graph.edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     epoch = next(_EPOCH_COUNTER)
     own_dir = block_dir is None
 
     t0 = time.time()
-    o_df, extras = _oriented(graph)
-    o = o_df.persist(StorageLevel.MEMORY_AND_DISK)
+    o = None
+    extras: list = []
+    bmap = None
     try:
-        row = o.agg(
-            F.max("u"), F.max("v"), F.min("u"), F.min("v"), F.count("*")
-        ).collect()[0]
-        m = int(row[4])
-        if m == 0:
-            return 0, {"orient_sec": round(time.time() - t0, 2),
+        o, extras = _oriented(graph)
+        # |E|, id range, |V| all come from the |V|-row degree table
+        # (Σdeg counts each canonical edge at both endpoints), so the
+        # oriented set itself is consumed exactly ONCE — by the
+        # staging exchange below — and its canonicalize → degree →
+        # orient maps fuse into that exchange's map side; nothing
+        # |E|-sized is persisted or scanned twice.
+        deg = extras[0]
+        row = deg.agg(F.sum("d"), F.max("x"), F.min("x"), F.count("*")).collect()[0]
+        if row[0] is None:
+            return 0, {"deg_sec": round(time.time() - t0, 2),
                        "stage_sec": 0.0, "probe_sec": 0.0}
-        mx = max(int(row[0]), int(row[1]))
-        mn = min(int(row[2]), int(row[3]))
+        sum_d, mx, mn, nv = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+        assert sum_d % 2 == 0, f"degree sum {sum_d} is odd"
+        m = sum_d // 2
         M = mx + 1
-        bmap = None
         if mn < 0 or M * M - 1 >= (1 << 63):
             # hashed/sparse ids (e.g. induce_edges' xxhash64-derived
             # vertex ids span the full signed-64 range): densify to
             # [0, |V|) with a sorted-id broadcast + vectorized
             # searchsorted — the same packed-array transport the
-            # orientation uses. |V|·8B must clear the broadcast
-            # budget (32M vertices at the 256MB default), which is
-            # strictly smaller than the mode's existing per-node
-            # |E|·8B membership-key envelope; past it, sql remains
-            # the cluster-scale plan.
+            # orientation uses, fused into the same staging scan.
+            # |V|·8B must clear the broadcast budget (32M vertices at
+            # the 256MB default), strictly smaller than the mode's
+            # per-node |E|·8B membership envelope; past it, sql
+            # remains the cluster-scale plan.
             from okapi_spark.operators.pagerank import _gather_sorted_arrays
             from okapi_spark.plans.broadcast import auto_state_broadcast
 
-            deg = extras[0]  # |V|-row (x, d) degree table, persisted by _oriented
-            nv = deg.count()
             if not auto_state_broadcast(nv, row_bytes=8):
                 raise ValueError(
                     f"mode='csr' packs edge {{u,v}} into an int64 key "
@@ -577,12 +583,7 @@ def _triangle_count_csr(
                         names=["u", "v", "dv"],
                     )
 
-            o2 = o.mapInArrow(_remap, "u long, v long, dv long").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            o2.count()
-            o.unpersist()
-            o = o2
+            o = o.mapInArrow(_remap, "u long, v long, dv long")
             M = int(nv)
         t1 = time.time()
         if own_dir:
@@ -590,20 +591,18 @@ def _triangle_count_csr(
         try:
             with no_adaptive(spark):
                 w = o.withColumn(
-                    "pid", F.pmod(F.xxhash64("u"), F.lit(P)).cast("int")
+                    "pid", F.pmod(F.col("u"), F.lit(P)).cast("int")
                 ).repartition(P, "pid")
-                staged_w = stage_blocks(w, P, _tri_wedge_pack, "triw", epoch, block_dir)
-                mem = (
-                    o.select((F.col("u") * F.lit(M) + F.col("v")).alias("key"))
-                    .withColumn("pid", F.pmod(F.col("key"), F.lit(P)).cast("int"))
-                    .repartition(P, "pid")
+                staged = stage_blocks(
+                    w, P, functools.partial(_tri_wedge_pack, M=M),
+                    "triw", epoch, block_dir,
                 )
-                staged_m = stage_blocks(
-                    mem, P, _tri_member_pack, "trim", epoch, block_dir
-                )
-            assert staged_w == m and staged_m == m, (
-                f"staged {staged_w}/{staged_m} rows != oriented |E|={m}"
-            )
+            assert staged == m, f"staged {staged} rows != oriented |E|={m}"
+            # degree table (and any orientation broadcast) fed only the
+            # staging scan — release before the probe job
+            for df in extras:
+                df.unpersist()
+            extras = []
             t2 = time.time()
             k_tasks = choose_task_count(m, P)
             total = (
@@ -619,12 +618,11 @@ def _triangle_count_csr(
             if bmap is not None:
                 bmap.destroy()
         return int(total or 0), {
-            "orient_sec": round(t1 - t0, 2),
+            "deg_sec": round(t1 - t0, 2),
             "stage_sec": round(t2 - t1, 2),
             "probe_sec": round(t3 - t2, 2),
         }
     finally:
-        o.unpersist()
         for df in extras:
             df.unpersist()
 
