@@ -73,6 +73,20 @@ def _canonical(graph: Graph) -> DataFrame:
     )
 
 
+def _degree_table(graph: Graph, e: DataFrame) -> DataFrame:
+    """(x, d) undirected degree of every canonical-edge endpoint. For
+    a ``symmetric_distinct`` graph out-degree == degree (both
+    directions present exactly once), so no canonical-set union."""
+    if graph.symmetric_distinct:
+        return graph.edges.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
+    return (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 class _BroadcastHandle:
     """Adapter so a ``sc.broadcast`` rides the oriented-plan extras
     list (whose members are released via ``unpersist()``)."""
@@ -131,20 +145,9 @@ def _oriented(
     from okapi_spark.plans.broadcast import auto_state_broadcast
 
     e = _canonical(graph)
-    if graph.symmetric_distinct:
-        # both directions present exactly once ⇒ out-degree == degree,
-        # no canonical-set union needed
-        deg = graph.edges.groupBy(F.col("src").alias("x")).agg(F.count("*").alias("d"))
-    else:
-        deg = (
-            e.select(F.col("u").alias("x"))
-            .unionAll(e.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count("*").alias("d"))
-        )
     # persist: the |V|-row table feeds both join legs (and the gate's
     # count action) — one edge-set pass instead of one per leg
-    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
     if deg_broadcast is None:
         n = deg.count()
         if auto_state_broadcast(n, row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES):
@@ -331,41 +334,50 @@ def triangle_count(
 # The sql plan's scale cost is the WEDGE EXCHANGE: the Σ C(out(v),2)
 # wedge rows (≈ |E|·avg_outdeg — 600M rows / ~14GB at the 60M-edge
 # scaling shape) are shuffled into the closing semi-join's hash probe.
-# The csr mode never materializes a wedge row in Spark at all. One
-# staging pass partitions the degree-ordered oriented set by pivot
-# (pid = u % P — u is dense non-negative here, see the id envelope
-# below) and packs each partition as a memmapped block
-# (plans/csr_blocks.py — the OS page cache is the shared per-node
-# block cache) holding BOTH faces of the same edges:
+# The csr mode never materializes a wedge row in Spark at all, and
+# pays exactly ONE |E|-scale exchange end to end:
 #
-#   * indptr/nbr: per-pivot out-neighbor CSR, neighbors sorted by the
-#     orientation's (deg, id) total order — so wedge pair (i < j) of
-#     a segment is ALREADY the oriented closing edge (n_i → n_j); and
-#   * mkeys: the block's edges as a sorted int64 key array
-#     key = u·M + v (M = max_id + 1) — the membership index, routed
-#     from a probe key by (key // M) % P with no second exchange.
-#
-# The orientation itself is never materialized: |E|, max/min id come
-# from the |V|-row degree table (Σdeg = 2·|E_canonical|), so the
-# staging exchange is the oriented set's ONLY consumer and the
-# canonicalize → degree-annotate → orient maps FUSE into its map
-# side — one |E|-scale exchange total. The count is then ONE
-# zero-exchange P-row ``mapInPandas`` job: each task enumerates its
-# pivot segments' out-pairs in vectorized NumPy (degree-bucketed
-# repeat/gather; hub pivots fall back to tail slices so no O(d²)
-# index table is built for d ≈ √E) and membership-probes the closing
-# keys with ``np.searchsorted`` into the blocks' mkeys — wedges
-# live only in registers/L2, nothing |wedges|-sized is ever exchanged,
-# written, or even held in memory (bounded ``_PROBE_CHUNK`` slabs).
+# 1. RANK RELABEL + ORIENT (map-side, fused): the |V|-row degree
+#    table is gathered into packed arrays and each vertex is assigned
+#    its RANK in the (deg, id) total order (a broadcast + vectorized
+#    searchsorted/argsort — no driver hash relation). Every canonical
+#    edge maps to (min(rank), max(rank)): that IS the degree
+#    orientation, ids are dense [0, |V|) by construction (hashed /
+#    negative / sparse ids need no special path), and the dv column
+#    disappears from the exchange — 2 int64s per edge row.
+# 2. STAGE (the one exchange): partition by pivot (pid = u % P — u is
+#    a dense rank, so plain mod is balanced and NumPy-computable) and
+#    write per-partition blocks (plans/csr_blocks.py, memmapped; the
+#    OS page cache is the shared per-node block cache) holding ONE
+#    array: mkeys = sorted u·|V| + v. Both faces of the block derive
+#    from it at load time — CSR over pivots (u = k // |V| is sorted;
+#    neighbors k % |V| ascend within a segment, and ascending rank IS
+#    the orientation order, so in-segment pair (i < j) is already the
+#    oriented closing edge n_i → n_j) and the membership index
+#    (sorted keys; a probe key routes to block (key // |V|) % P).
+#    |E|, |V| come from the degree table (Σdeg = 2·|E_canonical|), so
+#    this exchange is the oriented set's only consumer and the
+#    canonicalize → relabel → orient maps fuse into its map side.
+# 3. PROBE (zero-exchange): one P-row ``mapInPandas`` job; each task
+#    enumerates its pivot segments' out-pairs in vectorized NumPy
+#    (degree-bucketed repeat/gather; hub pivots fall back to tail
+#    slices so no O(d²) index table is built for d ≈ √E) and
+#    membership-probes the closing keys with ``np.searchsorted`` —
+#    wedges live only in registers/L2, nothing |wedges|-sized is ever
+#    exchanged, written, or even held in memory (bounded
+#    ``_PROBE_CHUNK`` slabs).
 #
 # Deployment envelope (documented, gated): every node must be able to
 # page-cache the |E|·8B membership keys (60M edges = 480MB; 10⁹ edges
-# = 8GB — the classic per-node-adjacency regime), and ids must pack a
-# pair into int64: (max_id+1)² < 2⁶³, else they are densified to
-# [0, |V|) via a sorted-id broadcast + searchsorted remap (gated at
-# the 256MB budget ≈ 32M vertices — strictly inside the membership
-# envelope). Past either limit the sql plan remains the cluster-scale
-# path, exactly like the other operators' csr/sql mode splits.
+# = 8GB — the classic per-node-adjacency regime), and the rank
+# relabel broadcasts 16B/vertex (ids + ranks), gated at the 256MB
+# one-shot array budget ≈ 16M vertices — strictly inside the
+# membership envelope. Past either limit the sql plan remains the
+# cluster-scale path, exactly like the other operators' csr/sql mode
+# splits. Measured (BENCH.md round-5): the probe phase — the only
+# |wedge|-scale term — runs in ~2-3s where the sql join pair takes
+# 24-36s (2 executor JVMs, 60M edges), leaving the job pinned at the
+# chassis's raw-exchange ceiling; 2.3s vs 9.3s sql at 5M edges warm.
 
 # probe slab size: bounds kernel working memory at ~3·8B·4M ≈ 100MB
 # per task while keeping each searchsorted call long enough to
@@ -379,23 +391,16 @@ _PAIR_BUCKET_CAP = 1 << 22
 
 
 def _tri_wedge_pack(pdf, M: int):
-    """Per-partition pivot block (runs once inside ``stage_blocks``),
-    both faces of the partition's edges: out-neighbor CSR with
-    neighbors sorted by the orientation's (deg(v), v) total order —
-    so in-segment pair (i < j) IS the oriented closing edge
-    (n_i → n_j) — and the sorted u·M+v membership keys ``mkeys``
-    (sorting the combined key = sorting by (u, v))."""
+    """Per-partition pivot block (runs once inside ``stage_blocks``):
+    the single sorted u·M+v key array. Rank-relabeled ids make this
+    both block faces at once — sorting the combined key sorts by
+    (u, v), v-ascending within a pivot segment IS the orientation
+    order, and the sorted keys are the membership index."""
     import numpy as np
 
     u = pdf["u"].to_numpy(np.int64)
     v = pdf["v"].to_numpy(np.int64)
-    dv = pdf["dv"].to_numpy(np.int64)
-    mkeys = np.sort(u * M + v)
-    order = np.lexsort((v, dv, u))  # primary u, then dv, then v
-    u, v = u[order], v[order]
-    _, start = np.unique(u, return_index=True)
-    indptr = np.append(start, u.size).astype(np.int64)
-    return {"indptr": indptr, "nbr": v, "mkeys": mkeys}
+    return {"mkeys": np.sort(u * M + v)}
 
 
 def _probe_membership(keys, M: int, P: int, epoch: int, block_dir: str) -> int:
@@ -422,15 +427,21 @@ def _probe_membership(keys, M: int, P: int, epoch: int, block_dir: str) -> int:
     return hits
 
 
-def _count_wedge_block(indptr, nbr, M: int, P: int, epoch: int, block_dir: str) -> int:
-    """Closed-wedge count of one pivot block: enumerate out-pairs per
-    segment (degree-bucketed vectorized gather; hub tail-slices past
-    ``_PAIR_BUCKET_CAP``), buffer closing keys into ``_PROBE_CHUNK``
-    slabs, membership-probe each slab."""
+def _count_wedge_block(mkeys, M: int, P: int, epoch: int, block_dir: str) -> int:
+    """Closed-wedge count of one pivot block: derive the pivot CSR
+    from the sorted key array (u = k // M ascends; neighbors k % M
+    ascend within a segment, which is the orientation order), then
+    enumerate out-pairs per segment (degree-bucketed vectorized
+    gather; hub tail-slices past ``_PAIR_BUCKET_CAP``), buffer
+    closing keys into ``_PROBE_CHUNK`` slabs, membership-probe each
+    slab."""
     import numpy as np
 
-    indptr = np.asarray(indptr)
-    nbr = np.asarray(nbr)
+    k = np.asarray(mkeys)
+    u = k // M
+    nbr = k % M
+    _, start = np.unique(u, return_index=True)
+    indptr = np.append(start, u.size).astype(np.int64)
     deg = np.diff(indptr)
     starts = indptr[:-1]
     state = {"buf": [], "buffered": 0, "hits": 0}
@@ -485,9 +496,7 @@ def _tri_csr_kernel(M: int, P: int, epoch: int, block_dir: str):
                 blk = load_block("triw", epoch, int(pid), block_dir)
                 if blk is None:
                     continue
-                total += _count_wedge_block(
-                    blk["indptr"], blk["nbr"], M, P, epoch, block_dir
-                )
+                total += _count_wedge_block(blk["mkeys"], M, P, epoch, block_dir)
         yield pd.DataFrame({"n": [total]})
 
     return kernel
@@ -499,10 +508,14 @@ def _triangle_count_csr(
     block_dir: str | None = None,
 ) -> tuple[int, dict]:
     """(count, phase_timings) — see the mode="csr" block comment."""
+    import functools
     import time
 
+    from pyspark.storagelevel import StorageLevel
+
     from okapi_spark.bsp import no_adaptive
-    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER, _gather_sorted_arrays
+    from okapi_spark.plans.broadcast import auto_state_broadcast
     from okapi_spark.plans.csr_blocks import (
         choose_task_count,
         cleanup_blocks,
@@ -511,98 +524,76 @@ def _triangle_count_csr(
         stage_blocks,
     )
 
-    import functools
-
     spark = graph.edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
     epoch = next(_EPOCH_COUNTER)
     own_dir = block_dir is None
 
     t0 = time.time()
-    o = None
-    extras: list = []
     bmap = None
+    e = _canonical(graph)
+    deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        o, extras = _oriented(graph)
-        # |E|, id range, |V| all come from the |V|-row degree table
-        # (Σdeg counts each canonical edge at both endpoints), so the
-        # oriented set itself is consumed exactly ONCE — by the
-        # staging exchange below — and its canonicalize → degree →
-        # orient maps fuse into that exchange's map side; nothing
-        # |E|-sized is persisted or scanned twice.
-        deg = extras[0]
-        row = deg.agg(F.sum("d"), F.max("x"), F.min("x"), F.count("*")).collect()[0]
+        # |E| and |V| come from the |V|-row degree table (Σdeg counts
+        # each canonical edge at both endpoints), so the oriented set
+        # is consumed exactly ONCE — by the staging exchange — and
+        # canonicalize → rank-relabel → orient fuse into its map side;
+        # nothing |E|-sized is persisted or scanned twice.
+        row = deg.agg(F.sum("d"), F.count("*")).collect()[0]
         if row[0] is None:
             return 0, {"deg_sec": round(time.time() - t0, 2),
                        "stage_sec": 0.0, "probe_sec": 0.0}
-        sum_d, mx, mn, nv = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+        sum_d, nv = int(row[0]), int(row[1])
         assert sum_d % 2 == 0, f"degree sum {sum_d} is odd"
         m = sum_d // 2
-        M = mx + 1
-        if mn < 0 or M * M - 1 >= (1 << 63):
-            # hashed/sparse ids (e.g. induce_edges' xxhash64-derived
-            # vertex ids span the full signed-64 range): densify to
-            # [0, |V|) with a sorted-id broadcast + vectorized
-            # searchsorted — the same packed-array transport the
-            # orientation uses, fused into the same staging scan.
-            # |V|·8B must clear the broadcast budget (32M vertices at
-            # the 256MB default), strictly smaller than the mode's
-            # per-node |E|·8B membership envelope; past it, sql
-            # remains the cluster-scale plan.
-            from okapi_spark.operators.pagerank import _gather_sorted_arrays
-            from okapi_spark.plans.broadcast import auto_state_broadcast
-
-            if not auto_state_broadcast(nv, row_bytes=8):
-                raise ValueError(
-                    f"mode='csr' packs edge {{u,v}} into an int64 key "
-                    f"u*(max_id+1)+v; id range [{mn}, {mx}] does not fit and "
-                    f"|V|={nv} exceeds the densify-remap broadcast budget — "
-                    "remap ids to a dense non-negative range first, or use "
-                    "mode='sql'."
-                )
-            ids_arr, _unused = _gather_sorted_arrays(
-                deg.select(F.col("x").alias("id"), "d"), nv, [("d", "int64")]
+        M = nv  # ranks are dense [0, |V|) by construction
+        if not auto_state_broadcast(
+            nv, row_bytes=16, budget_bytes=ONE_SHOT_ARRAY_BUDGET_BYTES
+        ):
+            raise ValueError(
+                f"mode='csr' rank-relabels vertices through a packed-array "
+                f"degree broadcast (16B/vertex); |V|={nv} exceeds the one-shot "
+                "array budget — use mode='sql' at cluster-scale |V|."
             )
-            bmap = spark.sparkContext.broadcast(ids_arr)
+        import numpy as np
 
-            def _remap(batches):
-                import numpy as np
-                import pyarrow as pa
+        ids_arr, (degs_arr,) = _gather_sorted_arrays(
+            deg.select(F.col("x").alias("id"), "d"), nv, [("d", "int64")]
+        )
+        ranks = np.empty(nv, dtype=np.int64)
+        ranks[np.lexsort((ids_arr, degs_arr))] = np.arange(nv, dtype=np.int64)
+        bmap = spark.sparkContext.broadcast((ids_arr, ranks))
 
-                sids = bmap.value
-                for batch in batches:
-                    u = batch.column("u").to_numpy(zero_copy_only=False)
-                    v = batch.column("v").to_numpy(zero_copy_only=False)
-                    dv = batch.column("dv").to_numpy(zero_copy_only=False)
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(np.searchsorted(sids, u)),
-                            pa.array(np.searchsorted(sids, v)),
-                            pa.array(dv),
-                        ],
-                        names=["u", "v", "dv"],
-                    )
+        def _orient_ranked(batches):
+            import numpy as np
+            import pyarrow as pa
 
-            o = o.mapInArrow(_remap, "u long, v long, dv long")
-            M = int(nv)
+            sids, rk = bmap.value
+            for batch in batches:
+                u = batch.column("u").to_numpy(zero_copy_only=False)
+                v = batch.column("v").to_numpy(zero_copy_only=False)
+                ru = rk[np.searchsorted(sids, u)]
+                rv = rk[np.searchsorted(sids, v)]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.minimum(ru, rv)), pa.array(np.maximum(ru, rv))],
+                    names=["u", "v"],
+                )
+
         t1 = time.time()
         if own_dir:
             block_dir = default_block_dir(spark)
         try:
             with no_adaptive(spark):
-                w = o.withColumn(
-                    "pid", F.pmod(F.col("u"), F.lit(P)).cast("int")
-                ).repartition(P, "pid")
+                w = (
+                    e.mapInArrow(_orient_ranked, "u long, v long")
+                    .withColumn("pid", F.pmod(F.col("u"), F.lit(P)).cast("int"))
+                    .repartition(P, "pid")
+                )
                 staged = stage_blocks(
                     w, P, functools.partial(_tri_wedge_pack, M=M),
                     "triw", epoch, block_dir,
                 )
             assert staged == m, f"staged {staged} rows != oriented |E|={m}"
-            # degree table (and any orientation broadcast) fed only the
-            # staging scan — release before the probe job
-            for df in extras:
-                df.unpersist()
-            extras = []
             t2 = time.time()
             k_tasks = choose_task_count(m, P)
             total = (
@@ -623,8 +614,7 @@ def _triangle_count_csr(
             "probe_sec": round(t3 - t2, 2),
         }
     finally:
-        for df in extras:
-            df.unpersist()
+        deg.unpersist()
 
 
 def triangle_count_per_vertex(graph: Graph, chunks: int = 1) -> DataFrame:

@@ -123,11 +123,11 @@ def test_triangle_count_csr_matches_sql(spark):
 
 
 def test_triangle_count_csr_hashed_ids_densify(spark, monkeypatch):
-    """ids whose pair key cannot pack into int64 (hashed ids, negative
-    ids — the induce_edges xxhash64 domain) are densified to [0, |V|)
-    via the sorted-id broadcast remap and still count exactly; when
-    |V| exceeds the remap broadcast budget the mode refuses with the
-    documented remap-or-sql message instead of overflowing silently."""
+    """Hashed / negative / sparse ids (the induce_edges xxhash64
+    domain) need no special path — the rank relabel makes ids dense
+    [0, |V|) by construction — and still count exactly; when |V|
+    exceeds the rank-broadcast budget the mode refuses with the
+    documented use-sql message instead of degrading silently."""
     import pyspark.sql.functions as F
 
     rng = np.random.default_rng(3)
@@ -150,5 +150,5 @@ def test_triangle_count_csr_hashed_ids_densify(spark, monkeypatch):
     from okapi_spark.plans import broadcast as B
 
     monkeypatch.setattr(B, "auto_state_broadcast", lambda *a, **k: False)
-    with pytest.raises(ValueError, match="remap ids"):
+    with pytest.raises(ValueError, match="mode='sql'"):
         triangle_count(g, mode="csr")
