@@ -112,6 +112,10 @@ def main() -> None:
     def q_triangles():
         state["n_tri"] = triangle_count(state["g"])
 
+    def q_triangles_csr():
+        n = triangle_count(state["g"], mode="csr")
+        assert n == state["n_tri"], f"csr count {n} != sql count {state['n_tri']}"
+
     def q_lpa():
         lp = label_propagation(state["g"], iterations=4)
         lp.state.count()
@@ -123,6 +127,7 @@ def main() -> None:
         ("pagerank_10_csr", q_pagerank_10_csr),
         ("connected_components", q_cc),
         ("triangle_count", q_triangles),
+        ("triangle_count_csr", q_triangles_csr),
         ("lpa_4", q_lpa),
     ]
 
