@@ -8,9 +8,11 @@ non-interlaced), sequential AND progressive JPEG (ITU-T T.81: Huffman
 entropy decode incl. Annex G spectral selection / successive
 approximation + batched-NumPy dequant/IDCT, integer chroma
 subsampling, restart markers), uncompressed 24/32-bit BMP, binary
-netpbm (P5/P6), and RIFF/WAVE PCM16; formats that genuinely require a
-codec library (arithmetic-coded JPEG, WebP, MP3, OGG, video) raise the
-NotImplementedError stub where the production codec would slot in.
+netpbm (P5/P6), RIFF/WAVE PCM16, and the OKPV raw video container
+(with byte-offset frame sampling and pure-NumPy resize); formats that
+genuinely require a codec library (arithmetic-coded JPEG, WebP, MP3,
+OGG, inter-coded H.264/VP9 video) raise the NotImplementedError stub
+where the production codec would slot in.
 The Spark-side plumbing is real
 and tested either way: typed binary+metadata schema, Arrow-batched
 ``mapInPandas`` with bounded batch sizes, no driver collect, and a
@@ -20,6 +22,11 @@ OKPX (image): b"OKPX" | u8 version | u16le width | u16le height |
 u8 channels | raw uint8 pixels, row-major H*W*C.
 OKPA (audio): b"OKPA" | u8 version | u32le sample_rate |
 u32le n_samples | raw int16le PCM mono samples.
+OKPV (video): b"OKPV" | u8 version | u16le width | u16le height |
+u8 channels | u16le n_frames | u8 fps | raw uint8 frames, row-major
+N*H*W*C. Fixed frame size means ``sample_frames`` can slice frame k
+from the byte buffer WITHOUT decoding the rest — the scale-relevant
+property a real container gets from its keyframe index.
 """
 
 from __future__ import annotations
@@ -50,6 +57,7 @@ FEATURE_SCHEMA = "media_id long, n_bytes int, sha256 string, feature array<float
 
 _IMG_MAGIC = b"OKPX"
 _AUD_MAGIC = b"OKPA"
+_VID_MAGIC = b"OKPV"
 
 
 def encode_image(pixels: np.ndarray) -> bytes:
@@ -741,6 +749,89 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
     )
 
 
+def encode_video(frames: np.ndarray, fps: int = 8) -> bytes:
+    """Pack an NxHxWxC (or NxHxW) uint8 frame stack into the OKPV
+    container."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim == 3:
+        arr = arr[:, :, :, None]
+    n, h, w, c = arr.shape
+    return _VID_MAGIC + struct.pack("<BHHBHB", 1, w, h, c, n, fps) + arr.tobytes()
+
+
+def _vid_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Validated OKPV header -> (w, h, c, n_frames, fps)."""
+    if len(payload) < 13:  # magic(4) + <BHHBHB header(9)
+        raise ValueError(f"OKPV header truncated: {len(payload)} bytes")
+    ver, w, h, c, n, fps = struct.unpack_from("<BHHBHB", payload, 4)
+    if ver != 1:
+        raise ValueError(f"OKPV version {ver} not supported")
+    if len(payload) - 13 != n * h * w * c:
+        raise ValueError(
+            f"OKPV payload truncated: {len(payload) - 13} body bytes != {n}*{h}*{w}*{c}"
+        )
+    return w, h, c, n, fps
+
+
+def decode_video(payload: bytes) -> tuple[int, np.ndarray]:
+    """bytes -> (fps, NxHxWxC uint8 frames). REAL decode for the OKPV
+    raw container; inter-coded formats (H.264/VP9/AV1) raise the
+    codec stub (ffmpeg slots in here on a production image)."""
+    if payload is not None and payload[:4] == _VID_MAGIC:
+        w, h, c, n, fps = _vid_header(payload)
+        body = np.frombuffer(payload, dtype=np.uint8, offset=13)
+        return fps, body.reshape(n, h, w, c)
+    raise NotImplementedError(
+        "compressed video decode requires ffmpeg on the cluster image; "
+        "built-in decode covers the OKPV raw container"
+    )
+
+
+def sample_frames(payload: bytes, every: int = 1, limit: int | None = None) -> tuple[int, np.ndarray]:
+    """(fps, KxHxWxC uint8) taking every ``every``-th frame, at most
+    ``limit``. Only the SAMPLED frames are materialized: fixed frame
+    size makes each frame a known byte slice, so a 1000-frame clip
+    sampled at every=100 touches 10 frames' bytes — the access
+    pattern a production pipeline needs when payloads are large and
+    the batch is Arrow-bounded."""
+    if payload is None or payload[:4] != _VID_MAGIC:
+        raise NotImplementedError(
+            "frame sampling for compressed video requires ffmpeg; "
+            "built-in support covers the OKPV raw container"
+        )
+    w, h, c, n, fps = _vid_header(payload)
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    idx = range(0, n, every) if limit is None else list(range(0, n, every))[:limit]
+    fsz = h * w * c
+    frames = [
+        np.frombuffer(payload, dtype=np.uint8, count=fsz, offset=13 + k * fsz).reshape(h, w, c)
+        for k in idx
+    ]
+    stacked = np.stack(frames) if frames else np.empty((0, h, w, c), dtype=np.uint8)
+    return fps, stacked
+
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """HxWxC uint8 -> out_h x out_w x C, pure NumPy. Downscale by an
+    integer factor uses area averaging (the quality-relevant case for
+    feature pipelines: 4K -> thumbnail); everything else is
+    nearest-neighbor index gather. Both are vectorized — no per-pixel
+    Python."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, _c = px.shape
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"resize target must be positive, got {out_h}x{out_w}")
+    if h % out_h == 0 and w % out_w == 0:
+        fh, fw = h // out_h, w // out_w
+        area = px.reshape(out_h, fh, out_w, fw, px.shape[2]).astype(np.float32)
+        return np.round(area.mean(axis=(1, 3))).clip(0, 255).astype(np.uint8)
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return px[yi][:, xi]
+
+
 def _synth_payload(media_id: int, kind: str, seed: int) -> tuple[bytes, int, int, int]:
     """Deterministic raw payload for one media row:
     (payload, width, height, duration_ms)."""
@@ -755,17 +846,26 @@ def _synth_payload(media_id: int, kind: str, seed: int) -> tuple[bytes, int, int
         samples = rng.randint(-(2**15), 2**15, size=n, dtype=np.int64).astype("<i2")
         payload = _AUD_MAGIC + struct.pack("<BII", 1, rate, n) + samples.tobytes()
         return payload, 0, 0, int(n * 1000 / rate)
-    # video: stays a genuinely opaque blob (no synthetic container) —
-    # exercises the stub path end-to-end
+    if kind == "video" and media_id % 4 != 3:
+        w = 6 + int(media_id) % 5
+        h = 4 + (int(media_id) // 5) % 5
+        n, fps = 6 + int(media_id) % 11, 8
+        frames = rng.randint(0, 256, size=(n, h, w, 3), dtype=np.int64).astype(np.uint8)
+        return encode_video(frames, fps=fps), w, h, int(n * 1000 / fps)
+    # every 4th video row stays a genuinely opaque blob (a compressed
+    # codec the container can't decode) — keeps the stub/fallback path
+    # exercised end-to-end alongside the real OKPV decode
     blob = hashlib.sha256(f"payload:{media_id}:{seed}".encode()).digest()
     return blob, 0, 0, 0
 
 
 def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     """Deterministic fake media table. image/audio rows carry REAL
-    decodable payloads in the OKPX/OKPA raw containers; video rows are
-    opaque blobs (stub path). Generated distributed via mapInPandas —
-    no driver-side materialization."""
+    decodable payloads in the OKPX/OKPA raw containers; 3 of 4 video
+    rows carry decodable OKPV clips, every 4th stays an opaque blob so
+    the codec-stub fallback path is exercised alongside the real
+    decode. Generated distributed via mapInPandas — no driver-side
+    materialization."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -833,6 +933,22 @@ def _audio_feature(rate: int, samples: np.ndarray, feature_dim: int) -> np.ndarr
     return np.pad(feat, (0, feature_dim - feat.size)).astype(np.float32)
 
 
+def _video_feature(fps: int, frames: np.ndarray, feature_dim: int) -> np.ndarray:
+    """Pixel-derived video feature over SAMPLED frames: the mean of
+    the per-frame image features, with the last dim replaced by
+    motion energy (mean |Δ| between consecutive sampled frames) when
+    feature_dim allows — a static clip and a noise clip with the same
+    color stats separate on that dim."""
+    if frames.shape[0] == 0:
+        return np.zeros(feature_dim, dtype=np.float32)
+    per_frame = np.stack([_image_feature(f, feature_dim) for f in frames])
+    feat = per_frame.mean(axis=0).astype(np.float32)
+    if feature_dim >= 5 and frames.shape[0] > 1:
+        deltas = np.abs(np.diff(frames.astype(np.float32), axis=0)) / 255.0
+        feat[feature_dim - 1] = np.float32(deltas.mean())
+    return feat
+
+
 def _hash_feature(sha: str, feature_dim: int) -> np.ndarray:
     """Deterministic fallback vector of EXACTLY feature_dim floats —
     one sha256 digest yields 32 bytes, so larger dims re-hash with a
@@ -851,8 +967,10 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    Payloads in the OKPX/OKPA raw containers are genuinely DECODED
-    (pure NumPy) and featurized from pixels/samples; other payloads
+    Payloads in the OKPX/OKPA/OKPV raw containers are genuinely
+    DECODED (pure NumPy) and featurized from pixels/samples/frames
+    (video via byte-offset frame sampling — at most 8 frames of a
+    clip touch memory); other payloads
     (where a real codec would run) fall back to a deterministic
     hash-derived vector so the pipeline shape stays total. The
     execution shape — ``mapInPandas`` with bounded batches, no driver
@@ -877,6 +995,12 @@ def extract_features(
                             feats.append(_image_feature(decode_image(p), feature_dim))
                         elif p[:4] == _AUD_MAGIC or p[:4] == b"RIFF":
                             feats.append(_audio_feature(*decode_audio(p), feature_dim))
+                        elif p[:4] == _VID_MAGIC:
+                            # at most 8 frames touch memory per clip —
+                            # sample_frames slices by byte offset
+                            _, _, _, nf, _ = _vid_header(p)
+                            fps, fr = sample_frames(p, every=max(1, nf // 8), limit=8)
+                            feats.append(_video_feature(fps, fr, feature_dim))
                         else:
                             feats.append(_hash_feature(shas[-1], feature_dim))
                     except (ValueError, struct.error, NotImplementedError):
@@ -894,3 +1018,78 @@ def extract_features(
                 )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, height: int, width: int, batch_size: int = 1024
+) -> DataFrame:
+    """Resize every decodable image payload to height x width,
+    re-encoded as OKPX; rows whose payload isn't a decodable image
+    (audio/video/opaque) pass through unchanged with their original
+    metadata. Arrow-batched ``mapInPandas`` over the full MEDIA_SCHEMA
+    — the thumbnail/normalize stage of a training-data pipeline, with
+    the same bounded-batch no-collect execution shape as
+    ``extract_features``."""
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size].copy()
+                payloads, widths, heights = [], [], []
+                for p, w0, h0 in zip(chunk["payload"], chunk["width"], chunk["height"]):
+                    b = bytes(p) if p is not None else b""
+                    try:
+                        px = decode_image(b)
+                        payloads.append(encode_image(resize_image(px, height, width)))
+                        widths.append(width)
+                        heights.append(height)
+                    except (ValueError, struct.error, NotImplementedError):
+                        payloads.append(b or None)
+                        widths.append(w0)
+                        heights.append(h0)
+                chunk["payload"] = payloads
+                chunk["width"] = widths
+                chunk["height"] = heights
+                yield chunk[cols]
+
+    return media.select(*cols).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def explode_frames(
+    media: DataFrame, every: int = 4, limit: int | None = None, batch_size: int = 256
+) -> DataFrame:
+    """One OKPX image row per sampled frame of every decodable video
+    payload: (media_id, frame_idx, width, height, payload). Non-video
+    rows are dropped (filtered JVM-side before the Python stage so the
+    Arrow exchange carries only video bytes). Downstream image ops —
+    ``resize_images``, ``extract_features`` — compose directly on the
+    result; frame selection slices by byte offset, so ``every=100``
+    over a long clip touches 1% of its bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "payload": []}
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    b = bytes(p) if p is not None else b""
+                    try:
+                        _, frames = sample_frames(b, every=every, limit=limit)
+                    except (ValueError, struct.error, NotImplementedError):
+                        continue
+                    for j, f in enumerate(frames):
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(j * every)
+                        out["width"].append(f.shape[1])
+                        out["height"].append(f.shape[0])
+                        out["payload"].append(encode_image(f))
+                yield pd.DataFrame(out)
+
+    vids = media.filter(
+        F.substring(F.col("payload"), 1, 4) == F.lit(_VID_MAGIC)
+    ).select("media_id", "payload")
+    return vids.mapInPandas(
+        batches, schema="media_id long, frame_idx int, width int, height int, payload binary"
+    )
