@@ -59,6 +59,13 @@ elif job == "components":
     # the first full-|E| scatter the dominant, honest term while the
     # state broadcast (16B/row) stays inside the 256MB budget at 240M
     n_vertices = n_edges // 20
+elif job == "pagerank_converge":
+    # convergence count depends on the spectral gap: the |E|/5000 CSR
+    # stress shape is so dense the power iteration lands inside 1e-6
+    # in 3-4 supersteps (nothing to measure); avg degree 100 gives a
+    # 15-25-superstep convergence run while the |V|-row state stays
+    # inside the broadcast budget at 240M (2.4M x 32B = 77MB)
+    n_vertices = n_edges // 100
 else:
     n_vertices = max(1000, n_edges // 5000)
 e = generate_edges(spark, n_edges, n_vertices=n_vertices)
@@ -147,6 +154,40 @@ elif job == "components":
     walls, ss_logs = [], []
     for _rep in range(2):
         w, ss = _cc_run()
+        walls.append(w)
+        ss_logs.append(ss)
+    wall = min(walls)
+    nss = len(ss_logs[0])
+    out = {"cores": cores, "edges": m, "job": job, "wall_sec": round(wall, 2),
+           "supersteps": nss, "warm_walls": [round(w, 2) for w in walls],
+           "per_superstep_logs": ss_logs,
+           "edges_per_sec_per_superstep": round(m * nss / wall, 1),
+           "edges_per_sec_median": round(m * nss / wall, 1),
+           "superstep_sec": round(wall, 2),
+           "median_superstep_sec": round(wall / max(1, nss), 3)}
+elif job == "pagerank_converge":
+    # North-rule headline: PageRank TIME-TO-CONVERGENCE (max per-vertex
+    # delta < 1e-6). Same warm-run + timed-reps protocol as components
+    # to-fixpoint: convergence-halting jobs are measured on total wall,
+    # with the per-superstep log disclosed for the floor decomposition.
+    from okapi_spark.operators.pagerank import pagerank
+
+    def _prc_run():
+        t0 = time.time()
+        res = pagerank(g, tol=1e-6, max_supersteps=60, mode=op_mode,
+                       num_partitions=cores, state_broadcast=state_broadcast)
+        res.state.count()
+        w = time.time() - t0
+        ss = [round(x["superstep_sec"], 2) for x in res.metrics_log]
+        assert res.converged, f"did not converge in {len(ss)} supersteps"
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return w, ss
+
+    _prc_run()  # untimed JIT/codegen warm-up
+    walls, ss_logs = [], []
+    for _rep in range(2):
+        w, ss = _prc_run()
         walls.append(w)
         ss_logs.append(ss)
     wall = min(walls)
@@ -307,6 +348,8 @@ def main() -> None:
         label = "triangles (one-shot)"
     elif job == "components":
         label = "components (to fixpoint)"
+    elif job == "pagerank_converge":
+        label = "pagerank (to 1e-6 convergence)"
     else:
         label = f"{job} x{iters}"
     est = f"min-of-{repeats}" if repeats > 1 else "single run"
