@@ -30,7 +30,10 @@ sys.path.insert(0, ROOT)
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-QUERIES = ["degree", "triangle_total", "pagerank_10", "lpa_4", "kcore_80"]
+QUERIES = [
+    "degree", "triangle_total", "triangle_total_csr", "pagerank_10",
+    "lpa_4", "kcore_80",
+]
 
 
 def _normalize(rows, cols):
