@@ -60,11 +60,12 @@ elif job == "components":
     # state broadcast (16B/row) stays inside the 256MB budget at 240M
     n_vertices = n_edges // 20
 elif job == "pagerank_converge":
-    # convergence count depends on the spectral gap: the |E|/5000 CSR
-    # stress shape is so dense the power iteration lands inside 1e-6
-    # in 3-4 supersteps (nothing to measure); avg degree 100 gives a
-    # 15-25-superstep convergence run while the |V|-row state stays
-    # inside the broadcast budget at 240M (2.4M x 32B = 77MB)
+    # avg degree 100 keeps the |V|-row state inside the broadcast
+    # budget at 240M (2.4M x 32B = 77MB). NOTE the superstep count is
+    # |V|-coupled, not just spectral: the ABSOLUTE 1e-6 per-vertex
+    # threshold sits higher relative to ranks (~1/|V|) as |V| grows —
+    # measured 12 supersteps at |V|=20k, 3 at |V|=2.4M (BENCH.md
+    # "Reading the pagerank-to-convergence run")
     n_vertices = n_edges // 100
 else:
     n_vertices = max(1000, n_edges // 5000)
