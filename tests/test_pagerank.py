@@ -99,3 +99,26 @@ def test_gather_state_arrays_paths_identical(spark):
     packed = _gather_state_arrays(df, n_rows=None)  # mapInArrow pack path
     assert (small[0] == packed[0]).all()
     assert (small[1] == packed[1]).all()
+
+
+def test_pagerank_l1_tolerance(spark):
+    """tol_norm="l1": scale-free criterion (Σ|Δ| over ranks that sum
+    to 1). Tighter than the same absolute max-delta at fixed |V|, and
+    both norms land in metrics_log regardless of which one halts."""
+    edges = toy_edges(spark, FIVE_VERTEX)
+    g = Graph.from_edges(edges)
+    res = pagerank(g, tol=1e-6, tol_norm="l1", max_supersteps=100)
+    assert res.converged
+    m = res.metrics_log[-1]
+    assert m["l1_delta"] < 1e-6 and "max_delta" in m
+    # L1 < tol implies max < tol: the fixpoint matches the oracle
+    got = {r.id: r.rank for r in res.state.collect()}
+    want = pagerank_oracle([(s, d) for s, d, _ in FIVE_VERTEX] + [(d, s) for s, d, _ in FIVE_VERTEX])
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-6
+    # L1 is the stricter norm: it needs at least as many supersteps as
+    # the max-delta run at the same tol on the same graph
+    res_max = pagerank(g, tol=1e-6, tol_norm="max", max_supersteps=100)
+    assert res.supersteps >= res_max.supersteps
+    with pytest.raises(ValueError):
+        pagerank(g, tol_norm="l2")
