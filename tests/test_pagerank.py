@@ -122,3 +122,29 @@ def test_pagerank_l1_tolerance(spark):
     assert res.supersteps >= res_max.supersteps
     with pytest.raises(ValueError):
         pagerank(g, tol_norm="l2")
+
+
+@pytest.mark.parametrize("mode", ["sql", "csr"])
+def test_pagerank_weighted_matches_oracle(spark, mode):
+    """weighted=True: rank flows as w/Σw per edge. The share table is
+    built BEFORE mode dispatch, so sql and csr must agree with the
+    dense weighted oracle — guards the csr staging path against ever
+    dropping the weight column."""
+    edges = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+        (3, 4, 5.0), (4, 1, 0.5), (4, 2, 0.5), (2, 4, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    g = Graph.from_edges(df)
+    res = pagerank(g, tol=1e-9, max_supersteps=200, weighted=True, mode=mode)
+    assert res.converged
+    got = {r.id: r.rank for r in res.state.collect()}
+    want = pagerank_oracle(
+        [(s, d) for s, d, _ in edges], tol=1e-9,
+        weights=[w for _, _, w in edges], weighted=True,
+    )
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-6, f"vertex {v}"
+    # and differs from the unweighted fixpoint (the weights matter)
+    unw = pagerank_oracle([(s, d) for s, d, _ in edges], tol=1e-9)
+    assert any(abs(want[v] - unw[v]) > 1e-4 for v in want)
