@@ -518,7 +518,8 @@ def _q_sgd(spark, sf_dir):
     # update-rule values additionally pytest-pinned (tests/test_cf.py).
     from okapi_spark.operators.cf import sgd
 
-    _, itf, _ = sgd(_ratings(spark, sf_dir), vector_size=2, iterations=2)
+    _, itf, _ = sgd(_ratings(spark, sf_dir), vector_size=2, iterations=2,
+                    track_rmse=False)
     return _rank_item_out(itf)
 
 

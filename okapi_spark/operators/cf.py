@@ -156,6 +156,7 @@ def sgd(
     rmse_target: float = -1.0,
     seed: int = 42,
     max_buffer: int | None = 100_000,
+    track_rmse: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Batch-synchronous SGD with the reference's update rule; message
     order fixed to ascending counterpart id for determinism.
@@ -228,10 +229,15 @@ def sgd(
             .select(F.col("item").alias("gid"), F.col("user").alias("oid"), "rating", "cf", "own")
         )
         itf = j.groupBy("gid").applyInPandas(make_update("item", "user"), "id long, factors array<double>").localCheckpoint(eager=True)
-        r = _rmse(ratings, uf, itf, clip=(min_rating, max_rating))
-        log.append(r)
-        if rmse_target > 0 and r < rmse_target:
-            break
+        # the per-iteration RMSE is a full |R|-scale 3-way join; it is
+        # load-bearing only when rmse_target halts on it — callers at
+        # production scale (or the gate) pass track_rmse=False to skip
+        # the extra action per iteration (factors are unaffected)
+        if track_rmse or rmse_target > 0:
+            r = _rmse(ratings, uf, itf, clip=(min_rating, max_rating))
+            log.append(r)
+            if rmse_target > 0 and r < rmse_target:
+                break
     return uf, itf, log
 
 
