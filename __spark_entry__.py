@@ -411,7 +411,8 @@ def _q_als(spark, sf_dir):
         ratings.select(F.col("item").alias("id")).distinct()
         .select("id", F.array(F.lit(0.01) * (F.col("id") % 997) / 997.0).alias("factors"))
     )
-    _, itf, _ = als(ratings, vector_size=1, iterations=2, init_item_factors=init)
+    _, itf, _ = als(ratings, vector_size=1, iterations=2, init_item_factors=init,
+                    track_rmse=False)
     return itf.select("id", F.round(F.element_at("factors", 1), 6).alias("f0"))
 
 

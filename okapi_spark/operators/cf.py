@@ -106,6 +106,7 @@ def als(
     rmse_target: float = -1.0,
     seed: int = 42,
     init_item_factors: DataFrame | None = None,
+    track_rmse: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """ratings: (user long, item long, rating double).
     Returns (user_factors, item_factors, rmse_per_iteration).
@@ -129,10 +130,12 @@ def als(
     for _ in range(iterations):
         uf = _solve_side(ratings, itf, "user", "item", lambda_, vector_size).localCheckpoint(eager=True)
         itf = _solve_side(ratings, uf, "item", "user", lambda_, vector_size).localCheckpoint(eager=True)
-        r = _rmse(ratings, uf, itf)
-        log.append(r)
-        if rmse_target > 0 and r < rmse_target:
-            break
+        if track_rmse or rmse_target > 0:  # same knob as sgd: the
+            # per-iteration RMSE action is informational unless it halts
+            r = _rmse(ratings, uf, itf)
+            log.append(r)
+            if rmse_target > 0 and r < rmse_target:
+                break
     return uf, itf, log
 
 
