@@ -39,6 +39,13 @@ class Graph:
     _num_vertices: int | None = field(default=None, repr=False)
     _num_edges: int | None = field(default=None, repr=False)
     _by_dst: DataFrame | None = field(default=None, repr=False)
+    #: memoized derived physical layouts (vertex dictionary, degree
+    #: table, per-operator cached share/CSR-block layouts) — the same
+    #: prepare-once-iterate-many pattern as ``by_dst``. Values are
+    #: persisted DataFrames or arbitrary handles registered with a
+    #: cleanup callable; ``unpersist()`` releases everything.
+    _derived: dict = field(default_factory=dict, repr=False)
+    _cleanups: dict = field(default_factory=dict, repr=False)
 
     @staticmethod
     def from_edges(
@@ -92,6 +99,47 @@ class Graph:
             .distinct()
         )
 
+    def derived(self, key: tuple, builder, cleanup=None):
+        """Memoize a derived physical layout on this graph.
+
+        The iterative operators all rebuild the same one-time layouts
+        on every call — the vertex dictionary, the degree table, the
+        dst-partitioned share table, the staged CSR blocks. Each is a
+        pure function of the (immutable) edge set plus the key's
+        parameters, so building it once per Graph and reusing it across
+        operator calls is the same prepare-once-iterate-many pattern as
+        ``by_dst`` (and, at cluster scale, bucketed/derived tables).
+        ``cleanup(value)`` (default: ``value.unpersist()``) runs in
+        ``unpersist()``.
+        """
+        if key not in self._derived:
+            value = builder()
+            self._derived[key] = value
+            self._cleanups[key] = cleanup
+        return self._derived[key]
+
+    def vertices_by_id(self, partitions: int) -> DataFrame:
+        """The vertex dictionary, hash-partitioned by id and persisted —
+        the state0 substrate every iterative operator re-derived per
+        call (a distinct over the edge set) before this memo."""
+        return self.derived(
+            ("verts_by_id", partitions),
+            lambda: self.vertices()
+            .repartition(partitions, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK),
+        )
+
+    def degree_weights(self) -> DataFrame:
+        """(src, out_deg, wsum) persisted — the shared degree/weight
+        census PageRank's shares, the salted-layout shard census, and
+        the triangle orientation all recompute independently."""
+        return self.derived(
+            ("degree_weights",),
+            lambda: self.edges.groupBy("src")
+            .agg(F.count("*").alias("out_deg"), F.sum("weight").alias("wsum"))
+            .persist(StorageLevel.MEMORY_AND_DISK),
+        )
+
     def out_degrees(self) -> DataFrame:
         """(id, out_deg) — vertices with no out-edges are absent (join
         with vertices() and coalesce(0) where dangling matters)."""
@@ -142,3 +190,11 @@ class Graph:
         self.edges.unpersist()
         if self._by_dst is not None:
             self._by_dst.unpersist()
+        for key, value in self._derived.items():
+            cleanup = self._cleanups.get(key)
+            if cleanup is not None:
+                cleanup(value)
+            else:
+                value.unpersist()
+        self._derived.clear()
+        self._cleanups.clear()

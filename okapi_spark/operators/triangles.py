@@ -292,9 +292,26 @@ def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, _Oriented
     wedges = wedges_parts[0]
     for w in wedges_parts[1:]:
         wedges = wedges.unionByName(w)
-    # hash-build on the |E|-row closing side and STREAM the (much
-    # larger) wedge set — never sort the wedges
-    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c")).hint("shuffle_hash")
+    # The closing side is |E| rows but the PROBE side is the wedge set
+    # (Σ C(out,2) ≈ |E|·avg_outdeg rows) — when the oriented set fits
+    # the one-shot broadcast budget, BROADCASTING it removes the wedge
+    # exchange entirely: wedges stream from the self-join straight into
+    # the semi probe, nothing |wedge|-sized is ever shuffled (guide
+    # §3.1/§2.4; round-6 measured: 5.5s → see OPTIMIZATION_r06.md).
+    # Past the budget, hash-build on the closing side and STREAM the
+    # wedges through a shuffled-hash join — never sort the wedges.
+    from okapi_spark.plans.broadcast import auto_state_broadcast
+
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    m_canonical = (
+        graph.num_edges() // 2 if graph.symmetric_distinct else None
+    )
+    if m_canonical is not None and auto_state_broadcast(
+        m_canonical, row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES
+    ):
+        closing = F.broadcast(closing)
+    else:
+        closing = closing.hint("shuffle_hash")
     tri = wedges.join(closing, ["b", "c"], "left_semi")
     ids = F.array_sort(F.array("a", "b", "c"))
     tri = tri.select(
@@ -388,6 +405,15 @@ _PROBE_CHUNK = 4_000_000
 # degree orientation) take the per-(segment, i) tail-slice path whose
 # python-loop count is Σ_hub d_hub ≪ wedge count
 _PAIR_BUCKET_CAP = 1 << 22
+
+# probe-job task sizing: the probe's work unit is WEDGES (≈ |E|·avg
+# outdeg), not edge rows, so csr_blocks.choose_task_count's 2M-edge
+# target starves it — at the bench shape (1.2M oriented edges, 36M
+# wedges) it picked ONE task and ran the whole enumeration serially
+# (round-6 measured: 4.6-6s probe). One probe task per ~50k oriented
+# edges keeps every task's wedge slab well above the Python job floor
+# while engaging all cores from ~1.6M edges up.
+_PROBE_TASK_EDGES = 50_000
 
 
 def _tri_wedge_pack(pdf, M: int):
@@ -507,7 +533,16 @@ def _triangle_count_csr(
     num_partitions: int | None = None,
     block_dir: str | None = None,
 ) -> tuple[int, dict]:
-    """(count, phase_timings) — see the mode="csr" block comment."""
+    """(count, phase_timings) — see the mode="csr" block comment.
+
+    Round 6: the staged pivot/membership layout is MEMOIZED on the
+    Graph (key ``("tri_blocks", P)``) when the caller does not supply
+    an explicit ``block_dir`` — like ``by_dst`` it is a pure physical
+    layout of the immutable edge set, so repeated counts on one Graph
+    pay the deg/orient/stage phases once (``deg_sec``/``stage_sec``
+    report 0.0 on reuse); Graph.unpersist()/atexit reclaim the files.
+    The probe job is sized by ``_PROBE_TASK_EDGES`` (wedge-scale work),
+    not the 2M-edge superstep target that serialized it before."""
     import functools
     import time
 
@@ -517,7 +552,6 @@ def _triangle_count_csr(
     from okapi_spark.operators.pagerank import _EPOCH_COUNTER, _gather_sorted_arrays
     from okapi_spark.plans.broadcast import auto_state_broadcast
     from okapi_spark.plans.csr_blocks import (
-        choose_task_count,
         cleanup_blocks,
         default_block_dir,
         pid_frame,
@@ -526,95 +560,104 @@ def _triangle_count_csr(
 
     spark = graph.edges.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    epoch = next(_EPOCH_COUNTER)
-    own_dir = block_dir is None
+    timings = {"deg_sec": 0.0, "stage_sec": 0.0}
 
-    t0 = time.time()
-    bmap = None
-    e = _canonical(graph)
-    deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        # |E| and |V| come from the |V|-row degree table (Σdeg counts
-        # each canonical edge at both endpoints), so the oriented set
-        # is consumed exactly ONCE — by the staging exchange — and
-        # canonicalize → rank-relabel → orient fuse into its map side;
-        # nothing |E|-sized is persisted or scanned twice.
-        row = deg.agg(F.sum("d"), F.count("*")).collect()[0]
-        if row[0] is None:
-            return 0, {"deg_sec": round(time.time() - t0, 2),
-                       "stage_sec": 0.0, "probe_sec": 0.0}
-        sum_d, nv = int(row[0]), int(row[1])
-        assert sum_d % 2 == 0, f"degree sum {sum_d} is odd"
-        m = sum_d // 2
-        M = nv  # ranks are dense [0, |V|) by construction
-        if not auto_state_broadcast(
-            nv, row_bytes=16, budget_bytes=ONE_SHOT_ARRAY_BUDGET_BYTES
-        ):
-            raise ValueError(
-                f"mode='csr' rank-relabels vertices through a packed-array "
-                f"degree broadcast (16B/vertex); |V|={nv} exceeds the one-shot "
-                "array budget — use mode='sql' at cluster-scale |V|."
-            )
-        import numpy as np
-
-        ids_arr, (degs_arr,) = _gather_sorted_arrays(
-            deg.select(F.col("x").alias("id"), "d"), nv, [("d", "int64")]
-        )
-        ranks = np.empty(nv, dtype=np.int64)
-        ranks[np.lexsort((ids_arr, degs_arr))] = np.arange(nv, dtype=np.int64)
-        bmap = spark.sparkContext.broadcast((ids_arr, ranks))
-
-        def _orient_ranked(batches):
-            import numpy as np
-            import pyarrow as pa
-
-            sids, rk = bmap.value
-            for batch in batches:
-                u = batch.column("u").to_numpy(zero_copy_only=False)
-                v = batch.column("v").to_numpy(zero_copy_only=False)
-                ru = rk[np.searchsorted(sids, u)]
-                rv = rk[np.searchsorted(sids, v)]
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.minimum(ru, rv)), pa.array(np.maximum(ru, rv))],
-                    names=["u", "v"],
-                )
-
-        t1 = time.time()
-        if own_dir:
-            block_dir = default_block_dir(spark)
+    def build():
+        """deg census → rank relabel → the ONE staging exchange.
+        Returns (block_dir, epoch, M, m) or None for an empty graph."""
+        t0 = time.time()
+        epoch = next(_EPOCH_COUNTER)
+        e = _canonical(graph)
+        deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            with no_adaptive(spark):
-                w = (
-                    e.mapInArrow(_orient_ranked, "u long, v long")
-                    .withColumn("pid", F.pmod(F.col("u"), F.lit(P)).cast("int"))
-                    .repartition(P, "pid")
+            # |E| and |V| come from the |V|-row degree table (Σdeg counts
+            # each canonical edge at both endpoints), so the oriented set
+            # is consumed exactly ONCE — by the staging exchange — and
+            # canonicalize → rank-relabel → orient fuse into its map side;
+            # nothing |E|-sized is persisted or scanned twice.
+            row = deg.agg(F.sum("d"), F.count("*")).collect()[0]
+            if row[0] is None:
+                timings["deg_sec"] = round(time.time() - t0, 2)
+                return None
+            sum_d, nv = int(row[0]), int(row[1])
+            assert sum_d % 2 == 0, f"degree sum {sum_d} is odd"
+            m = sum_d // 2
+            M = nv  # ranks are dense [0, |V|) by construction
+            if not auto_state_broadcast(
+                nv, row_bytes=16, budget_bytes=ONE_SHOT_ARRAY_BUDGET_BYTES
+            ):
+                raise ValueError(
+                    f"mode='csr' rank-relabels vertices through a packed-array "
+                    f"degree broadcast (16B/vertex); |V|={nv} exceeds the one-shot "
+                    "array budget — use mode='sql' at cluster-scale |V|."
                 )
-                staged = stage_blocks(
-                    w, P, functools.partial(_tri_wedge_pack, M=M),
-                    "triw", epoch, block_dir,
-                )
-            assert staged == m, f"staged {staged} rows != oriented |E|={m}"
-            t2 = time.time()
-            k_tasks = choose_task_count(m, P)
-            total = (
-                pid_frame(spark, P, k_tasks)
-                .mapInPandas(_tri_csr_kernel(M, P, epoch, block_dir), "n long")
-                .agg(F.sum("n"))
-                .collect()[0][0]
+            import numpy as np
+
+            ids_arr, (degs_arr,) = _gather_sorted_arrays(
+                deg.select(F.col("x").alias("id"), "d"), nv, [("d", "int64")]
             )
-            t3 = time.time()
-        finally:
-            if own_dir:
-                cleanup_blocks(block_dir)
-            if bmap is not None:
+            ranks = np.empty(nv, dtype=np.int64)
+            ranks[np.lexsort((ids_arr, degs_arr))] = np.arange(nv, dtype=np.int64)
+            bmap = spark.sparkContext.broadcast((ids_arr, ranks))
+
+            def _orient_ranked(batches):
+                import numpy as np
+                import pyarrow as pa
+
+                sids, rk = bmap.value
+                for batch in batches:
+                    u = batch.column("u").to_numpy(zero_copy_only=False)
+                    v = batch.column("v").to_numpy(zero_copy_only=False)
+                    ru = rk[np.searchsorted(sids, u)]
+                    rv = rk[np.searchsorted(sids, v)]
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.minimum(ru, rv)), pa.array(np.maximum(ru, rv))],
+                        names=["u", "v"],
+                    )
+
+            t1 = time.time()
+            timings["deg_sec"] = round(t1 - t0, 2)
+            bdir = block_dir or default_block_dir(spark)
+            try:
+                with no_adaptive(spark):
+                    w = (
+                        e.mapInArrow(_orient_ranked, "u long, v long")
+                        .withColumn("pid", F.pmod(F.col("u"), F.lit(P)).cast("int"))
+                        .repartition(P, "pid")
+                    )
+                    staged = stage_blocks(
+                        w, P, functools.partial(_tri_wedge_pack, M=M),
+                        "triw", epoch, bdir,
+                    )
+                assert staged == m, f"staged {staged} rows != oriented |E|={m}"
+            finally:
+                # the relabel broadcast only feeds the staging pass
                 bmap.destroy()
-        return int(total or 0), {
-            "deg_sec": round(t1 - t0, 2),
-            "stage_sec": round(t2 - t1, 2),
-            "probe_sec": round(t3 - t2, 2),
-        }
-    finally:
-        deg.unpersist()
+            timings["stage_sec"] = round(time.time() - t1, 2)
+            return bdir, epoch, M, m
+        finally:
+            deg.unpersist()
+
+    if block_dir is None:
+        layout = graph.derived(
+            ("tri_blocks", P), build,
+            cleanup=lambda v: cleanup_blocks(v[0]) if v else None,
+        )
+    else:
+        layout = build()  # caller owns the explicit dir; no memo, no cleanup
+    if layout is None:
+        return 0, {**timings, "probe_sec": 0.0}
+    bdir, epoch, M, m = layout
+
+    t2 = time.time()
+    k_tasks = min(P, max(1, m // _PROBE_TASK_EDGES))
+    total = (
+        pid_frame(spark, P, k_tasks)
+        .mapInPandas(_tri_csr_kernel(M, P, epoch, bdir), "n long")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    return int(total or 0), {**timings, "probe_sec": round(time.time() - t2, 2)}
 
 
 def triangle_count_per_vertex(graph: Graph, chunks: int = 1) -> DataFrame:

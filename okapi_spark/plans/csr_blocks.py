@@ -46,6 +46,7 @@ operator returns.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -77,6 +78,22 @@ def choose_task_count(n_edges: int, max_tasks: int) -> int:
     return max(1, min(max_tasks, -(-n_edges // _TARGET_BLOCK_ROWS)))
 
 
+# every staging dir this process created and has not yet cleaned —
+# block sets memoized on a Graph (reused across operator calls) are
+# released by Graph.unpersist(), with this atexit sweep as the leak
+# backstop for graphs that are never unpersisted (tests, REPLs)
+_LIVE_DIRS: set[str] = set()
+
+
+def _cleanup_all_dirs() -> None:
+    for d in list(_LIVE_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+    _LIVE_DIRS.clear()
+
+
+atexit.register(_cleanup_all_dirs)
+
+
 def default_block_dir(spark) -> str:
     """A fresh staging directory every executor of this deployment can
     read. Local masters share the driver's filesystem; for a real
@@ -89,7 +106,9 @@ def default_block_dir(spark) -> str:
             "pass block_dir=<DFS path> (the default driver tempdir is only "
             "visible cluster-wide under local/local-cluster masters)"
         )
-    return tempfile.mkdtemp(prefix="okapi_csr_blocks_")
+    d = tempfile.mkdtemp(prefix="okapi_csr_blocks_")
+    _LIVE_DIRS.add(d)
+    return d
 
 
 def stage_blocks(
@@ -147,13 +166,17 @@ def load_block(tag: str, epoch: int, pid: int, block_dir: str):
         with open(base + ".keys") as f:
             keys = [k for k in f.read().split("\n") if k]
         blk = {k: np.load(f"{base}.{k}.npy", mmap_mode="r") for k in keys}
-        _prune_stale(epoch)
+        _prune_stale(tag, epoch)
         _BLOCK_CACHE[key] = blk
     return blk
 
 
-def _prune_stale(epoch: int) -> None:
-    for k in [k for k in _BLOCK_CACHE if k[1] != epoch]:
+def _prune_stale(tag: str, epoch: int) -> None:
+    # prune only this TAG's older epochs: block sets for different
+    # operators (pr/lpa/cc/triw) now live concurrently on a memoizing
+    # Graph, and evicting each other's handles per load would force a
+    # reopen on every touch
+    for k in [k for k in _BLOCK_CACHE if k[0] == tag and k[1] != epoch]:
         _BLOCK_CACHE.pop(k, None)
 
 
@@ -172,3 +195,4 @@ def pid_frame(spark, num_blocks: int, num_tasks: int | None = None) -> DataFrame
 
 def cleanup_blocks(block_dir: str) -> None:
     shutil.rmtree(block_dir, ignore_errors=True)
+    _LIVE_DIRS.discard(block_dir)

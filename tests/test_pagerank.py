@@ -148,3 +148,29 @@ def test_pagerank_weighted_matches_oracle(spark, mode):
     # and differs from the unweighted fixpoint (the weights matter)
     unw = pagerank_oracle([(s, d) for s, d, _ in edges], tol=1e-9)
     assert any(abs(want[v] - unw[v]) > 1e-4 for v in want)
+
+
+def test_pagerank_csr_driver_loop_matches_sql_fixed_iters(spark):
+    """Round-6: mode='csr' without a store runs the driver-resident
+    NumPy state loop (one Spark job per superstep). Fixed-iteration
+    ranks must match the sql broadcast plan, metrics_log must keep the
+    bench-consumed keys, and a second call on the same Graph reuses
+    the memoized staged blocks."""
+    edges = _er_graph(n=90, p=0.06, seed=9)
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long, weight double"))
+    rs = pagerank(g, iterations=6, mode="sql")
+    rc = pagerank(g, iterations=6, mode="csr")
+    a = {r.id: r.rank for r in rs.state.collect()}
+    b = {r.id: r.rank for r in rc.state.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+    assert rc.supersteps == 6 and not rc.converged
+    for m in rc.metrics_log:
+        assert "superstep_sec" in m and "edges_processed" in m
+    # memoized staged layout present; second call reuses it
+    P = spark.sparkContext.defaultParallelism
+    assert ("pr_blocks", False, P) in g._derived
+    rc2 = pagerank(g, iterations=6, mode="csr")
+    b2 = {r.id: r.rank for r in rc2.state.collect()}
+    assert b2 == b
+    g.unpersist()

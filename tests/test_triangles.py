@@ -146,9 +146,40 @@ def test_triangle_count_csr_hashed_ids_densify(spark, monkeypatch):
     assert triangle_count(g, mode="csr") == want_total
     assert triangle_count(g) == want_total  # sql agrees on hashed ids too
 
-    # force the remap broadcast gate shut: must refuse, not overflow
+    # force the remap broadcast gate shut: must refuse, not overflow.
+    # Fresh Graph: the staged layout is memoized per Graph (round 6),
+    # and an already-staged layout legitimately needs no new broadcast
+    # — the gate guards the STAGING pass.
+    g2 = Graph.from_edges(df)
     from okapi_spark.plans import broadcast as B
 
     monkeypatch.setattr(B, "auto_state_broadcast", lambda *a, **k: False)
     with pytest.raises(ValueError, match="mode='sql'"):
-        triangle_count(g, mode="csr")
+        triangle_count(g2, mode="csr")
+
+
+def test_triangle_csr_staged_layout_memoized(spark):
+    """Round-6: the staged pivot/membership layout is memoized per
+    Graph — a second count reuses it (deg/stage phases report 0.0) and
+    Graph.unpersist() removes the block files."""
+    import os
+
+    from okapi_spark.operators.triangles import _triangle_count_csr
+
+    rng = np.random.default_rng(11)
+    edges = []
+    for i in range(1, 60):
+        for j in range(i + 1, 60):
+            if rng.random() < 0.15:
+                edges.append((i, j, 1.0))
+    g = Graph.from_edges(toy_edges(spark, edges))
+    n1, ph1 = _triangle_count_csr(g)
+    assert ph1["stage_sec"] > 0.0
+    n2, ph2 = _triangle_count_csr(g)
+    assert n2 == n1
+    assert ph2["deg_sec"] == 0.0 and ph2["stage_sec"] == 0.0  # reused
+    P = spark.sparkContext.defaultParallelism
+    bdir = g._derived[("tri_blocks", P)][0]
+    assert os.path.isdir(bdir)
+    g.unpersist()
+    assert not os.path.exists(bdir)  # cleanup reclaimed the files
