@@ -90,8 +90,17 @@ def max_b_matching(
             .select("id", (F.col("cap") - F.coalesce("n", F.lit(0))).alias("cap"))
             .localCheckpoint(eager=True)
         )
-        # drop included edges and edges incident to saturated vertices
-        saturated = F.broadcast(caps.filter(F.col("cap") <= 0).select("id"))
+        # drop included edges and edges incident to saturated vertices.
+        # The saturated set GROWS toward |V| over rounds, so broadcast
+        # it only while it fits the byte budget (kcore.py precedent;
+        # round-5 VERDICT "what's wrong" #4) — past that the anti-join
+        # falls back to a shuffle join instead of shipping hundreds of
+        # MB to every task.
+        from okapi_spark.operators.kcore import BROADCAST_DEAD_BYTES, _DEAD_ROW_BYTES
+
+        saturated = caps.filter(F.col("cap") <= 0).select("id")
+        if saturated.count() * _DEAD_ROW_BYTES <= BROADCAST_DEAD_BYTES:
+            saturated = F.broadcast(saturated)
         edges = (
             edges.join(included.select("u", "v"), ["u", "v"], "left_anti")
             .join(saturated.withColumnRenamed("id", "u"), "u", "left_anti")

@@ -130,7 +130,9 @@ def connected_components(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
-    vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    # memoized vertex dictionary (Graph.derived) — rebuilt per call
+    # before round 6
+    vertices = graph.vertices_by_id(num_partitions)
     n = vertices.count()
     if state_broadcast is None:
         # byte-based gate (kcore.py precedent; VERDICT r3 #4): (id, comp)

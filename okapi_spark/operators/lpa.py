@@ -273,7 +273,9 @@ def label_propagation(
         num_partitions = spark.sparkContext.defaultParallelism
     w_col = F.col("weight") if weighted else F.lit(1.0)
 
-    vertices = graph.vertices().repartition(num_partitions, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    # memoized vertex dictionary (Graph.derived) — rebuilt per call
+    # before round 6
+    vertices = graph.vertices_by_id(num_partitions)
     n = vertices.count()
     if mode == "csr" and not auto_state_broadcast(
         n, row_bytes=32, rows_override=broadcast_threshold

@@ -490,6 +490,17 @@ def _csr_messages_job(
     )
 
 
+# Below this many edges the per-superstep mapInPandas job FLOOR
+# (~0.35-0.6s measured at 32 cores: scheduling + Python round trip +
+# Arrow collect, regardless of kernel size — the kernel itself is
+# ~20-40ms) dwarfs the single-core kernel time, so the driver loop
+# fuses ALL supersteps into ONE job whose task iterates the staged
+# blocks per superstep locally. 8M edges ≈ 120ms/superstep single
+# core — still well under the job floor; past it, per-superstep jobs
+# with one task per ~2M edges win back the parallelism.
+_FUSE_MAX_EDGES = 8_000_000
+
+
 def _pagerank_csr_driver_loop(
     spark, graph, vertices, n, base, damping, tol, tol_norm,
     iterations, max_supersteps, num_partitions, k_tasks, ensure_staged, n_edges,
@@ -513,6 +524,11 @@ def _pagerank_csr_driver_loop(
     log: list[dict] = []
     converged = False
     n_ss = iterations if iterations is not None else max_supersteps
+    if n_edges <= _FUSE_MAX_EDGES:
+        return _pagerank_csr_fused(
+            spark, ids, ranks, n, base, damping, tol, tol_norm, iterations,
+            n_ss, num_partitions, staged_epoch, bdir, n_edges,
+        )
     with no_adaptive(spark):
         for ss in range(n_ss):
             t0 = time.time()
@@ -544,6 +560,102 @@ def _pagerank_csr_driver_loop(
             if halted:
                 converged = True
                 break
+    state = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "rank": ranks}), schema="id long, rank double"
+    )
+    return BSPResult(state, (log[-1]["superstep"] + 1) if log else 0, converged, log)
+
+
+def _pagerank_csr_fused(
+    spark, ids, ranks0, n, base, damping, tol, tol_norm, iterations,
+    n_ss, num_partitions, epoch, block_dir, n_edges,
+) -> BSPResult:
+    """All supersteps in ONE Spark job (|E| ≤ ``_FUSE_MAX_EDGES``): a
+    single task holds every staged block — together they own every
+    in-edge — so it can run the whole fixpoint locally, paying the job
+    floor once instead of per superstep. Identical float semantics to
+    the per-superstep loop: same per-block ``searchsorted`` gather +
+    ``add.reduceat`` segment sums, same ``base + damping·msum`` update,
+    same max|Δ| / Σ|Δ| halt values. Returns the packed final ranks and
+    per-superstep metrics as two binary blobs."""
+    import time
+
+    import numpy as np
+
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    b = spark.sparkContext.broadcast((ids, ranks0))
+    run_to_tol = iterations is None
+    tol_is_l1 = tol_norm == "l1"
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        rid, r = b.value
+        r = r.copy()
+        nn = len(rid)
+        blocks = []
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("pr", epoch, int(pid), block_dir)
+                if blk is not None and len(blk["src"]):
+                    # pre-resolve the block's gather/scatter positions
+                    # once — they are superstep-invariant
+                    blocks.append((
+                        np.searchsorted(rid, blk["src"]),
+                        blk["share"],
+                        blk["starts"],
+                        np.searchsorted(rid, blk["uniq_dst"]),
+                    ))
+        mets = []
+        for ss in range(n_ss):
+            t0 = time.time()
+            new = np.full(nn, base, dtype="float64")
+            for pos, share, starts, dpos in blocks:
+                contrib = r[pos] * share
+                msum = np.add.reduceat(contrib, starts)
+                new[dpos] = base + damping * msum
+            halted = False
+            mx = l1 = 0.0
+            if run_to_tol:
+                mx = float(np.max(np.abs(new - r))) if nn else 0.0
+                l1 = float(np.sum(np.abs(new - r)))
+                halted = (l1 if tol_is_l1 else mx) < tol
+            r = new
+            mets.append((mx, l1, time.time() - t0))
+            if halted:
+                break
+        yield pd.DataFrame({
+            "ranks": [r.tobytes()],
+            "metrics": [np.asarray(mets, dtype="float64").tobytes()],
+        })
+
+    try:
+        row = (
+            pid_frame(spark, num_partitions, 1)
+            .mapInPandas(kernel, schema="ranks binary, metrics binary")
+            .collect()[0]
+        )
+    finally:
+        b.destroy()
+    ranks = np.frombuffer(row.ranks, dtype="float64")
+    mets = np.frombuffer(row.metrics, dtype="float64").reshape(-1, 3)
+    log: list[dict] = []
+    converged = False
+    for ss in range(mets.shape[0]):
+        mx, l1, wall = mets[ss]
+        metrics: dict = {"edges_processed": n_edges}
+        halted = False
+        if run_to_tol:
+            metrics["max_delta"] = float(mx)
+            metrics["l1_delta"] = float(l1)
+            halted = (float(l1) if tol_is_l1 else float(mx)) < tol
+        metrics["_halted"] = halted
+        metrics["superstep_sec"] = float(wall)
+        metrics["superstep"] = ss
+        log.append(metrics)
+        if halted:
+            converged = True
     state = spark.createDataFrame(
         pd.DataFrame({"id": ids, "rank": ranks}), schema="id long, rank double"
     )

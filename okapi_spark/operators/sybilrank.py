@@ -59,7 +59,9 @@ def sybilrank(
     spark = graph.edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    vertices = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+    # memoized vertex dictionary (Graph.derived) — was a per-call
+    # persist that leaked across calls before round 6
+    vertices = graph.vertices_by_id(num_partitions)
     n = vertices.count()
     if total_trust is None:
         total_trust = float(n)

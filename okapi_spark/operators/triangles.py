@@ -292,26 +292,14 @@ def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, _Oriented
     wedges = wedges_parts[0]
     for w in wedges_parts[1:]:
         wedges = wedges.unionByName(w)
-    # The closing side is |E| rows but the PROBE side is the wedge set
-    # (Σ C(out,2) ≈ |E|·avg_outdeg rows) — when the oriented set fits
-    # the one-shot broadcast budget, BROADCASTING it removes the wedge
-    # exchange entirely: wedges stream from the self-join straight into
-    # the semi probe, nothing |wedge|-sized is ever shuffled (guide
-    # §3.1/§2.4; round-6 measured: 5.5s → see OPTIMIZATION_r06.md).
-    # Past the budget, hash-build on the closing side and STREAM the
-    # wedges through a shuffled-hash join — never sort the wedges.
-    from okapi_spark.plans.broadcast import auto_state_broadcast
-
-    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    m_canonical = (
-        graph.num_edges() // 2 if graph.symmetric_distinct else None
-    )
-    if m_canonical is not None and auto_state_broadcast(
-        m_canonical, row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES
-    ):
-        closing = F.broadcast(closing)
-    else:
-        closing = closing.hint("shuffle_hash")
+    # hash-build on the |E|-row closing side and STREAM the (much
+    # larger) wedge set — never sort the wedges. Round-6 NEGATIVE
+    # result (kept for the record): broadcasting the closing side to
+    # remove the wedge exchange was tried and MEASURED SLOWER at the
+    # bench shape (5.5s → 7.6-10s min-of-3; the serial 1.2M-row
+    # broadcast-relation build + ship costs more than the 32-way
+    # wedge exchange it saves) — see OPTIMIZATION_r06.md.
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c")).hint("shuffle_hash")
     tri = wedges.join(closing, ["b", "c"], "left_semi")
     ids = F.array_sort(F.array("a", "b", "c"))
     tri = tri.select(
