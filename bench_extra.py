@@ -92,9 +92,16 @@ def main() -> None:
     if "tri_sql" in targets:
         def f_tri_sql():
             from okapi_spark.operators.triangles import triangle_count
-            n = triangle_count(g)
+            n = triangle_count(g, mode="sql")
             return {"n": n}
         rep("tri_sql", f_tri_sql)
+
+    if "tri_auto" in targets:
+        def f_tri_auto():
+            from okapi_spark.operators.triangles import triangle_count
+            n = triangle_count(g)
+            return {"n": n}
+        rep("tri_auto", f_tri_auto)
 
     if "tri_csr" in targets:
         def f_tri_csr():

@@ -178,7 +178,11 @@ class Graph:
 
     def num_vertices(self) -> int:
         if self._num_vertices is None:
-            self._num_vertices = self.vertices().count()
+            # count through the memoized vertex dictionary: the same
+            # distinct was otherwise computed here unpersisted and then
+            # AGAIN by the first operator that needed the dictionary
+            p = self.edges.sparkSession.sparkContext.defaultParallelism
+            self._num_vertices = self.vertices_by_id(p).count()
         return self._num_vertices
 
     def num_edges(self) -> int:

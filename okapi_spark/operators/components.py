@@ -100,6 +100,101 @@ def _csr_min_comp(
     )
 
 
+def _cc_csr_fused(
+    spark, vertices, n, max_supersteps, num_partitions, ensure_staged, n_edges,
+) -> BSPResult:
+    """The whole HashMin fixpoint in ONE Spark job (round 6; the same
+    fuse-the-supersteps move as PageRank's ``_pagerank_csr_fused``):
+    a single task holds every memoized staged block, so it iterates
+    rounds locally — frontier gather, per-dst ``minimum.reduceat``,
+    merge — until a round changes nothing, instead of paying the
+    per-round job floor. Integer min everywhere: the fixpoint and the
+    per-round changed counts are bit-identical to every other plan."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from okapi_spark.bsp import no_adaptive
+    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    bdir, epoch = ensure_staged()
+    ids, _ = _gather_sorted_arrays(vertices.select("id"), n, [])
+    b = spark.sparkContext.broadcast(ids)
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        sid = b.value
+        nn = len(sid)
+        comp = sid.copy()  # initial component = own id
+        changed = np.ones(nn, dtype=bool)  # round-0 frontier = all
+        blocks = []
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("cc", epoch, int(pid), bdir)
+                if blk is not None and len(blk["dst"]):
+                    # frontier gather positions are round-invariant
+                    blocks.append((np.searchsorted(sid, blk["src"]), blk["dst"]))
+        mets = []
+        for _ss in range(max_supersteps):
+            t0 = time.time()
+            new_comp = comp.copy()
+            new_changed = np.zeros(nn, dtype=bool)
+            for spos, dst in blocks:
+                valid = changed[spos]
+                if not valid.any():
+                    continue
+                dst_v = dst[valid]  # dst-sorted layout survives the mask
+                comp_v = comp[spos[valid]]
+                starts = np.flatnonzero(np.r_[True, dst_v[1:] != dst_v[:-1]])
+                cand = np.minimum.reduceat(comp_v, starts)
+                tgt = np.searchsorted(sid, dst_v[starts])
+                m = cand < comp[tgt]
+                new_comp[tgt[m]] = cand[m]
+                new_changed[tgt[m]] = True
+            comp, changed = new_comp, new_changed
+            n_changed = int(np.count_nonzero(changed))
+            mets.append((n_changed, time.time() - t0))
+            if n_changed == 0:
+                break
+        yield pd.DataFrame({
+            "comp": [comp.tobytes()],
+            "metrics": [np.asarray(mets, dtype="float64").tobytes()],
+        })
+
+    with no_adaptive(spark):
+        try:
+            row = (
+                pid_frame(spark, num_partitions, 1)
+                .mapInPandas(kernel, schema="comp binary, metrics binary")
+                .collect()[0]
+            )
+        finally:
+            b.destroy()
+    comp = np.frombuffer(row.comp, dtype="int64")
+    mets = np.frombuffer(row.metrics, dtype="float64").reshape(-1, 2)
+    log = []
+    converged = False
+    for ss in range(mets.shape[0]):
+        c = int(mets[ss, 0])
+        halted = c == 0
+        log.append({
+            "changed": c,
+            "edges_processed": n_edges,
+            "_halted": halted,
+            "superstep_sec": float(mets[ss, 1]),
+            "superstep": ss,
+        })
+        if halted:
+            converged = True
+    state = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "comp": comp}), schema="id long, comp long"
+    )
+    return BSPResult(state, (log[-1]["superstep"] + 1) if log else 0, converged, log)
+
+
 def connected_components(
     graph: Graph,
     max_supersteps: int = 200,
@@ -108,7 +203,7 @@ def connected_components(
     state_broadcast: bool | None = None,
     broadcast_threshold: int | None = None,
     frontier_broadcast_rows: int | None = None,
-    mode: str = "sql",
+    mode: str = "auto",
 ) -> BSPResult:
     """Returns BSPResult state (id long, comp long).
 
@@ -119,12 +214,18 @@ def connected_components(
     the previous superstep's changed-metric) drops below
     ``BROADCAST_FRONTIER_ROWS``.
 
+    ``mode="auto"`` (default, round 6): the fused staged-kernel loop
+    (whole fixpoint in one Spark job over memoized CSR blocks, see
+    ``_cc_csr_fused``) when byte-safe and |E| is inside the fuse
+    window; else "sql". HashMin is integer min, so every plan reaches
+    the bit-identical fixpoint.
+
     ``mode="csr"``: HashMin over resident staged CSR blocks (see
     ``_csr_min_comp``) — identical fixpoint, parity-tested; gated by
     the same broadcast byte budget since the round-0 frontier is |V|
     rows.
     """
-    if mode not in ("sql", "csr"):
+    if mode not in ("auto", "sql", "csr"):
         raise ValueError(f"unknown connected_components mode {mode!r}")
     spark = graph.edges.sparkSession
     if num_partitions is None:
@@ -134,6 +235,15 @@ def connected_components(
     # before round 6
     vertices = graph.vertices_by_id(num_partitions)
     n = vertices.count()
+    if mode == "auto":
+        from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
+
+        fusable = (
+            store is None
+            and graph.num_edges() <= _FUSE_MAX_EDGES
+            and auto_state_broadcast(n, row_bytes=32, rows_override=broadcast_threshold)
+        )
+        mode = "csr" if fusable else "sql"
     if state_broadcast is None:
         # byte-based gate (kcore.py precedent; VERDICT r3 #4): (id, comp)
         # state ~32B/row incl. broadcast-relation overhead vs 256MB budget
@@ -156,33 +266,48 @@ def connected_components(
     from okapi_spark.operators.pagerank import _EPOCH_COUNTER
 
     epoch = next(_EPOCH_COUNTER)
-    block_slot: list = [None]
     bcast_slot: list = [None]
     if mode == "csr":
         # dst-hashed block layout; staged lazily on first superstep
-        # (plans/csr_blocks.py — see lpa.py mode='csr' for the design)
+        # (plans/csr_blocks.py — see lpa.py mode='csr' for the design),
+        # MEMOIZED on the Graph (round 6, like by_dst/pr_blocks)
         from okapi_spark.plans.csr_blocks import (
-            choose_task_count, default_block_dir, stage_blocks,
+            choose_task_count, cleanup_blocks, default_block_dir, stage_blocks,
         )
 
         # stage WIDE (one block per partition); supersteps run over
         # fewer tasks when the graph is small (see pid_frame)
         k_tasks = choose_task_count(n_edges, num_partitions)
-        edges_by_pid = (
-            graph.edges.select("src", "dst")
-            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
-            .repartition(num_partitions, "pid")
-        )
 
-        def ensure_staged() -> str:
-            if block_slot[0] is None:
-                block_slot[0] = default_block_dir(spark)
-                with no_adaptive(spark):
-                    staged = stage_blocks(
-                        edges_by_pid, num_partitions, _cc_pack, "cc", epoch, block_slot[0]
-                    )
-                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
-            return block_slot[0]
+        def _stage() -> tuple[str, int]:
+            edges_by_pid = (
+                graph.edges.select("src", "dst")
+                .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+                .repartition(num_partitions, "pid")
+            )
+            bdir = default_block_dir(spark)
+            with no_adaptive(spark):
+                staged = stage_blocks(
+                    edges_by_pid, num_partitions, _cc_pack, "cc", epoch, bdir
+                )
+            assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+            return bdir, epoch
+
+        def ensure_staged() -> tuple[str, int]:
+            return graph.derived(
+                ("cc_blocks", num_partitions),
+                _stage,
+                cleanup=lambda v: cleanup_blocks(v[0]),
+            )
+
+        if store is None:
+            from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
+
+            if n_edges <= _FUSE_MAX_EDGES:
+                return _cc_csr_fused(
+                    spark, vertices, n, max_supersteps, num_partitions,
+                    ensure_staged, n_edges,
+                )
 
         state0 = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
     elif state_broadcast:
@@ -234,8 +359,9 @@ def connected_components(
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
+            bdir, staged_epoch = ensure_staged()
             msgs = _csr_min_comp(
-                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, staged_epoch, bdir,
                 state.filter("changed").select("id", "comp"),
                 bcast_slot, n_rows=last_changed[0],
             )
@@ -274,21 +400,15 @@ def connected_components(
 
     from contextlib import nullcontext
 
-    try:
-        with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
-            res = run_supersteps(
-                state0,
-                superstep,
-                max_supersteps=max_supersteps,
-                halt_fn=lambda ss, m: m["changed"] == 0,
-                store=store,
-                restore_fn=restore_fn,
-            )
-    finally:
-        if block_slot[0] is not None:
-            from okapi_spark.plans.csr_blocks import cleanup_blocks
-
-            cleanup_blocks(block_slot[0])
+    with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
+        res = run_supersteps(
+            state0,
+            superstep,
+            max_supersteps=max_supersteps,
+            halt_fn=lambda ss, m: m["changed"] == 0,
+            store=store,
+            restore_fn=restore_fn,
+        )
     res.state = res.state.select("id", "comp")
     if bcast_slot[0] is not None:
         bcast_slot[0].destroy()

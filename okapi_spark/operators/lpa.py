@@ -227,6 +227,115 @@ def _csr_active_dsts(
     return pid_frame(spark, num_blocks, num_tasks).mapInPandas(kernel, schema="id long")
 
 
+def _lpa_csr_fused(
+    spark, graph, vertices, n, iterations, num_partitions, ensure_staged,
+) -> BSPResult:
+    """Fixed-iteration LPA in ONE Spark job (round 6; the same
+    fuse-the-supersteps move as PageRank's ``_pagerank_csr_fused``,
+    gated on |E| ≤ its ``_FUSE_MAX_EDGES``): a single task holds every
+    memoized staged block — together they own every in-edge — so it
+    runs all rounds locally instead of paying the per-round mapInPandas
+    job floor. Per-round math is ``_lpa_block_argmax`` verbatim, so the
+    labels are bit-identical to the per-round csr loop (and to the sql
+    plans on the parity-tested shapes)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    bdir, epoch = ensure_staged()
+    ids, _ = _gather_sorted_arrays(vertices.select("id"), n, [])
+    b = spark.sparkContext.broadcast(ids)
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        sid = b.value
+        nn = len(sid)
+        # work in INDEX space: labels as positions into the sorted id
+        # array. sid is ascending, so index order IS id order — the
+        # min-label tie-break carries over unchanged — and the fused
+        # (dst_idx, lbl_idx) group key fits 32 bits for nn ≤ 46340,
+        # where numpy's argsort is ~8x faster than on int64 keys
+        # (measured 0.05s vs 0.42s on the 2.4M-edge bench block set;
+        # the per-round sort is this kernel's hot loop).
+        lbl = np.arange(nn, dtype=np.int64)  # initial label = own id
+        blocks = []
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("lpa", epoch, int(pid), bdir)
+                if blk is not None and len(blk["dst"]):
+                    # gather/scatter positions are round-invariant
+                    blocks.append((
+                        np.searchsorted(sid, blk["src"]),
+                        np.searchsorted(sid, blk["dst"]).astype(np.int64),
+                        blk["w"],
+                    ))
+        use32 = nn <= 46340  # nn² < 2^31
+        mets = []
+        for _ss in range(iterations):
+            t0 = time.time()
+            new = lbl.copy()
+            for spos, dpos, w in blocks:
+                key = dpos * nn + lbl[spos]
+                order = np.argsort(key.astype(np.int32) if use32 else key)
+                g_key = key[order]
+                g_w = w[order]
+                grp = np.flatnonzero(np.r_[True, g_key[1:] != g_key[:-1]])
+                sums = np.add.reduceat(g_w, grp)
+                grp_dst = g_key[grp] // nn
+                grp_lbl = g_key[grp] - grp_dst * nn
+                # per-dst argmax, min-label tie-break (same math as
+                # _lpa_block_argmax, in index space)
+                dgrp = np.flatnonzero(np.r_[True, grp_dst[1:] != grp_dst[:-1]])
+                wmax = np.maximum.reduceat(sums, dgrp)
+                seg_id = np.zeros(len(sums), dtype=np.int64)
+                seg_id[dgrp[1:]] = 1
+                seg_id = np.cumsum(seg_id)
+                is_max = sums == wmax[seg_id]
+                cand = np.where(is_max, grp_lbl, np.iinfo(np.int64).max)
+                best = np.minimum.reduceat(cand, dgrp)
+                new[grp_dst[dgrp]] = best
+            changed = int(np.count_nonzero(new != lbl))
+            lbl = new
+            mets.append((changed, time.time() - t0))
+        yield pd.DataFrame({
+            "labels": [sid[lbl].tobytes()],
+            "metrics": [np.asarray(mets, dtype="float64").tobytes()],
+        })
+
+    with no_adaptive(spark):
+        try:
+            row = (
+                pid_frame(spark, num_partitions, 1)
+                .mapInPandas(kernel, schema="labels binary, metrics binary")
+                .collect()[0]
+            )
+        finally:
+            b.destroy()
+    import numpy as np
+    import pandas as pd
+
+    lbl = np.frombuffer(row.labels, dtype="int64")
+    mets = np.frombuffer(row.metrics, dtype="float64").reshape(-1, 2)
+    log = [
+        {
+            "changed": int(mets[ss, 0]),
+            "_halted": False,
+            "superstep_sec": float(mets[ss, 1]),
+            "superstep": ss,
+        }
+        for ss in range(mets.shape[0])
+    ]
+    state = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "lbl": lbl}), schema="id long, lbl long"
+    )
+    return BSPResult(state, iterations, False, log)
+
+
 def _argmax_label(msgs: DataFrame, key: str = "id") -> DataFrame:
     """(key, lbl) with max weight, tie → min label: one hash agg via
     max(struct(w, -lbl)) — no window, no second shuffle."""
@@ -246,7 +355,7 @@ def label_propagation(
     num_partitions: int | None = None,
     state_broadcast: bool | None = None,
     broadcast_threshold: int | None = None,
-    mode: str = "sql",
+    mode: str = "auto",
 ) -> BSPResult:
     """Classic synchronous LPA. Returns state (id long, lbl long).
 
@@ -260,13 +369,21 @@ def label_propagation(
     classic two-shuffle plan runs (state shuffles into the src join,
     histogram agg combines map-side).
 
+    ``mode="auto"`` (default, round 6): the fused staged-kernel loop
+    (all rounds in one Spark job over memoized CSR blocks — see
+    ``_lpa_csr_fused``) when it is measured-better and byte-safe:
+    fixed-iteration runs without a store, |E| within the fuse window,
+    label state within the broadcast budget. Everything else resolves
+    to "sql". Kernel math is shared with mode="csr", so results are
+    bit-identical to it (and parity-tested against sql).
+
     ``mode="csr"``: partition-local sparse gather-scatter over
     CSR-packed adjacency blocks (see ``_csr_best_labels``) — the
     north-rule physical form. Identical results to the sql plans
     (parity-tested); same byte gate as the broadcast plan since the
     label state is NumPy-broadcast each superstep.
     """
-    if mode not in ("sql", "csr"):
+    if mode not in ("auto", "sql", "csr"):
         raise ValueError(f"unknown lpa mode {mode!r}")
     spark = graph.edges.sparkSession
     if num_partitions is None:
@@ -277,6 +394,16 @@ def label_propagation(
     # before round 6
     vertices = graph.vertices_by_id(num_partitions)
     n = vertices.count()
+    if mode == "auto":
+        from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
+
+        fusable = (
+            iterations is not None
+            and store is None
+            and graph.num_edges() <= _FUSE_MAX_EDGES
+            and auto_state_broadcast(n, row_bytes=32, rows_override=broadcast_threshold)
+        )
+        mode = "csr" if fusable else "sql"
     if mode == "csr" and not auto_state_broadcast(
         n, row_bytes=32, rows_override=broadcast_threshold
     ):
@@ -295,7 +422,6 @@ def label_propagation(
     epoch = next(_EPOCH_COUNTER)
     salted = not state_broadcast and mode == "sql"
     restore_fn = None
-    block_slot: list = [None]  # staged block_dir, set on first superstep
     if mode == "csr":
         # pid = hash(dst): the partition owns ALL in-edges of its dsts,
         # so the kernel's per-dst argmax is final — zero exchange. The
@@ -303,32 +429,48 @@ def label_propagation(
         # edges, same I/O shape as a shuffle map write); supersteps
         # never scan the edge table again (csr_blocks module doc).
         # Staging is LAZY (first superstep) so re-invoking a completed
-        # checkpointed run still resumes instantly without an edge pass.
+        # checkpointed run still resumes instantly without an edge pass,
+        # and MEMOIZED on the Graph (round 6, like by_dst/pr_blocks) so
+        # repeated calls skip the re-stage.
         from okapi_spark.plans.csr_blocks import (
-            choose_task_count, default_block_dir, stage_blocks,
+            choose_task_count, cleanup_blocks, default_block_dir, stage_blocks,
         )
 
         # stage WIDE (one block per partition); supersteps run over
         # fewer tasks when the graph is small (see pid_frame)
         k_tasks = choose_task_count(graph.num_edges(), num_partitions)
-        edges_by_pid = (
-            graph.edges.select("src", "dst", w_col.alias("weight"))
-            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
-            .repartition(num_partitions, "pid")
-        )
 
-        def ensure_staged() -> str:
-            if block_slot[0] is None:
-                block_slot[0] = default_block_dir(spark)
-                with no_adaptive(spark):
-                    staged = stage_blocks(
-                        edges_by_pid, num_partitions, _lpa_pack, "lpa", epoch, block_slot[0]
-                    )
-                n_edges = graph.num_edges()
-                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
-            return block_slot[0]
+        def _stage() -> tuple[str, int]:
+            edges_by_pid = (
+                graph.edges.select("src", "dst", w_col.alias("weight"))
+                .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+                .repartition(num_partitions, "pid")
+            )
+            bdir = default_block_dir(spark)
+            with no_adaptive(spark):
+                staged = stage_blocks(
+                    edges_by_pid, num_partitions, _lpa_pack, "lpa", epoch, bdir
+                )
+            n_edges = graph.num_edges()
+            assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+            return bdir, epoch
+
+        def ensure_staged() -> tuple[str, int]:
+            return graph.derived(
+                ("lpa_blocks", weighted, num_partitions),
+                _stage,
+                cleanup=lambda v: cleanup_blocks(v[0]),
+            )
 
         state0 = vertices.select("id", F.col("id").alias("lbl"))
+        if iterations is not None and store is None:
+            from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
+
+            if graph.num_edges() <= _FUSE_MAX_EDGES:
+                return _lpa_csr_fused(
+                    spark, graph, vertices, n, iterations, num_partitions,
+                    ensure_staged,
+                )
     elif state_broadcast:
         # dst-partitioned scatter layout (see Graph.by_dst): labels are
         # broadcast into the src join; groupBy(dst, lbl) and the argmax
@@ -380,8 +522,9 @@ def label_propagation(
 
     def superstep(ss: int, state: DataFrame):
         if mode == "csr":
+            bdir, staged_epoch = ensure_staged()
             best = _csr_best_labels(
-                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, staged_epoch, bdir,
                 state, bcast_slot, n_rows=n,
             )
         elif state_broadcast:
@@ -459,17 +602,9 @@ def label_propagation(
 
     from contextlib import nullcontext
 
-    try:
-        with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
-            res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt,
-                                 store=store, restore_fn=restore_fn)
-    finally:
-        if block_slot[0] is not None:
-            # state is localCheckpoint/parquet-materialized every
-            # superstep, so nothing re-references the block files
-            from okapi_spark.plans.csr_blocks import cleanup_blocks
-
-            cleanup_blocks(block_slot[0])
+    with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
+        res = run_supersteps(state0, superstep, max_supersteps=max_ss, halt_fn=halt,
+                             store=store, restore_fn=restore_fn)
     res.state = res.state.select("id", "lbl")
     if bcast_slot[0] is not None:
         # final state is materialized by run_supersteps; the last

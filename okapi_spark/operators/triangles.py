@@ -87,6 +87,28 @@ def _degree_table(graph: Graph, e: DataFrame) -> DataFrame:
     )
 
 
+def _degree_source(graph: Graph, e: DataFrame) -> tuple[DataFrame, list]:
+    """(deg, extras) — for ``symmetric_distinct`` graphs the degree
+    table is a free projection of the MEMOIZED (src, out_deg, wsum)
+    census (Graph.degree_weights — round 6), shared with PageRank and
+    the salted layouts instead of re-aggregated per call; otherwise
+    the per-call canonical-union aggregate, persisted and owned by the
+    caller via ``extras``."""
+    from pyspark.storagelevel import StorageLevel
+
+    if graph.symmetric_distinct:
+        deg = graph.derived(
+            ("tri_deg",),
+            lambda: graph.degree_weights().select(
+                F.col("src").alias("x"), F.col("out_deg").alias("d")
+            ),
+            cleanup=lambda v: None,  # projection of the memoized census
+        )
+        return deg, []
+    deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
+    return deg, [deg]
+
+
 class _BroadcastHandle:
     """Adapter so a ``sc.broadcast`` rides the oriented-plan extras
     list (whose members are released via ``unpersist()``)."""
@@ -140,14 +162,13 @@ def _oriented(
     ``searchsorted`` in ``mapInArrow`` — still zero edge exchanges but
     without the driver-side hash-relation build that made the
     relation broadcast lose at |V| = 6M (see ``_oriented_array``)."""
-    from pyspark.storagelevel import StorageLevel
-
     from okapi_spark.plans.broadcast import auto_state_broadcast
 
     e = _canonical(graph)
-    # persist: the |V|-row table feeds both join legs (and the gate's
-    # count action) — one edge-set pass instead of one per leg
-    deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
+    # the |V|-row table feeds both join legs (and the gate's count
+    # action): memoized census projection for symmetric graphs, else a
+    # per-call persist owned through the extras list
+    deg, extras = _degree_source(graph, e)
     if deg_broadcast is None:
         n = deg.count()
         if auto_state_broadcast(n, row_bytes=32, budget_bytes=ONE_SHOT_BROADCAST_BUDGET_BYTES):
@@ -157,7 +178,7 @@ def _oriented(
         else:
             deg_broadcast = False
     if deg_broadcast == "array":
-        return _oriented_array(graph, e, deg)
+        return _oriented_array(graph, e, deg, extras)
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     if deg_broadcast:
@@ -170,10 +191,12 @@ def _oriented(
         F.when(flip, F.col("u")).otherwise(F.col("v")).alias("v"),
         F.when(flip, F.col("du")).otherwise(F.col("dv")).alias("dv"),
     )
-    return oriented, [deg]
+    return oriented, extras
 
 
-def _oriented_array(graph: Graph, e: DataFrame, deg: DataFrame) -> tuple[DataFrame, list]:
+def _oriented_array(
+    graph: Graph, e: DataFrame, deg: DataFrame, extras: list | None = None
+) -> tuple[DataFrame, list]:
     """Zero-exchange orientation via a packed-array degree broadcast.
 
     The |V|-row degree table is gathered executor-side into two sorted
@@ -219,7 +242,10 @@ def _oriented_array(graph: Graph, e: DataFrame, deg: DataFrame) -> tuple[DataFra
             )
 
     oriented = e.mapInArrow(orient, "u long, v long, dv long")
-    return oriented, [deg, _BroadcastHandle(b)]
+    # extras=None (legacy direct call): caller owns deg; extras=[] means
+    # deg is the graph-memoized census and must NOT be released here
+    owned = [deg] if extras is None else list(extras)
+    return oriented, owned + [_BroadcastHandle(b)]
 
 
 def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
@@ -236,17 +262,23 @@ def triangles_df(graph: Graph, chunks: int = 1) -> DataFrame:
 class _OrientedHandle:
     """Persisted-state handle for a triangle plan: the oriented edge
     set plus the degree table backing it. ``count()`` materializes the
-    oriented set (phase-1 boundary for the scaling bench);
-    ``unpersist()`` releases everything."""
+    oriented set (phase-1 boundary for the scaling bench). Round 6:
+    when the oriented set is MEMOIZED on the Graph (``owned=False``,
+    the default path through ``_triangles_plan``) ``unpersist()`` is a
+    no-op — the Graph owns the cache and releases it in its own
+    ``unpersist()``; callers keep their release calls unchanged."""
 
-    def __init__(self, oriented: DataFrame, extras: list[DataFrame]):
+    def __init__(self, oriented: DataFrame, extras: list[DataFrame], owned: bool = True):
         self._o = oriented
         self._extras = extras
+        self._owned = owned
 
     def count(self) -> int:
         return self._o.count()
 
     def unpersist(self) -> None:
+        if not self._owned:
+            return
         self._o.unpersist()
         for df in self._extras:
             df.unpersist()
@@ -261,9 +293,21 @@ def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, _Oriented
     # the oriented set feeds THREE plan legs (both wedge sides + the
     # closing semi-join); uncached it is recomputed per leg — its
     # canonical-distinct + degree joins dominated the whole job
-    # (measured 65s of a 238s run, ×3) — so materialize it once
-    o_df, extras = _oriented(graph)
-    o = o_df.persist(StorageLevel.MEMORY_AND_DISK)
+    # (measured 65s of a 238s run, ×3) — so materialize it once.
+    # Round 6: MEMOIZED on the Graph (like by_dst) — repeated triangle/
+    # coefficient calls on one Graph reuse the cached oriented set
+    # instead of re-deriving and re-persisting it per call.
+    def build():
+        o_df, extras = _oriented(graph)
+        return o_df.persist(StorageLevel.MEMORY_AND_DISK), extras
+
+    def release(v):
+        o_c, extras_c = v
+        o_c.unpersist()
+        for df in extras_c:
+            df.unpersist()
+
+    o, extras = graph.derived(("tri_oriented",), build, cleanup=release)
     wedges_parts = []
     for c in range(chunks):
         e1 = o.alias("e1")
@@ -305,21 +349,41 @@ def _triangles_plan(graph: Graph, chunks: int = 1) -> tuple[DataFrame, _Oriented
     tri = tri.select(
         ids[0].alias("low"), ids[1].alias("mid"), ids[2].alias("high")
     )
-    return tri, _OrientedHandle(o, extras)
+    return tri, _OrientedHandle(o, extras, owned=False)
 
 
 def triangle_count(
     graph: Graph,
     chunks: int = 1,
-    mode: str = "sql",
+    mode: str = "auto",
     num_partitions: int | None = None,
     block_dir: str | None = None,
 ) -> int:
     """Total unique triangles.
 
-    ``mode="sql"`` (default): the two-join wedge plan above.
+    ``mode="auto"`` (default, round 6): pick the physical plan by the
+    same byte gate the csr mode already enforces — the staged-kernel
+    count (zero wedge exchange; measured 4.8s → 0.7-1.6s at the bench
+    shape) whenever the 16B/vertex rank-relabel broadcast fits the
+    one-shot array budget (≈16M vertices), else the sql wedge plan,
+    which remains the cluster-scale path. This is the same
+    auto-physical-strategy pattern as PageRank's broadcast-vs-salted
+    gate; both plans produce the identical exact count (parity-tested,
+    and both gate rows are hash-checked against the same oracle).
+    An explicit ``chunks`` > 1 requests the sql plan's staged wedge
+    passes, so auto defers to sql there.
+
+    ``mode="sql"``: the two-join wedge plan above.
     ``mode="csr"``: resident staged-block kernel (see
     ``_triangle_count_csr``) — same count, zero wedge shuffle."""
+    if mode == "auto" and chunks == 1:
+        try:
+            n, _phases = _triangle_count_csr(
+                graph, num_partitions=num_partitions, block_dir=block_dir
+            )
+            return n
+        except ValueError:
+            mode = "sql"  # |V| past the rank-broadcast envelope
     if mode == "csr":
         n, _phases = _triangle_count_csr(
             graph, num_partitions=num_partitions, block_dir=block_dir
@@ -556,7 +620,7 @@ def _triangle_count_csr(
         t0 = time.time()
         epoch = next(_EPOCH_COUNTER)
         e = _canonical(graph)
-        deg = _degree_table(graph, e).persist(StorageLevel.MEMORY_AND_DISK)
+        deg, deg_extras = _degree_source(graph, e)
         try:
             # |E| and |V| come from the |V|-row degree table (Σdeg counts
             # each canonical edge at both endpoints), so the oriented set
@@ -624,7 +688,8 @@ def _triangle_count_csr(
             timings["stage_sec"] = round(time.time() - t1, 2)
             return bdir, epoch, M, m
         finally:
-            deg.unpersist()
+            for df in deg_extras:
+                df.unpersist()
 
     if block_dir is None:
         layout = graph.derived(

@@ -163,7 +163,6 @@ elif job == "components":
            "supersteps": nss, "warm_walls": [round(w, 2) for w in walls],
            "per_superstep_logs": ss_logs,
            "edges_per_sec_per_superstep": round(m * nss / wall, 1),
-           "edges_per_sec_median": round(m * nss / wall, 1),
            "superstep_sec": round(wall, 2),
            "median_superstep_sec": round(wall / max(1, nss), 3)}
 elif job == "pagerank_converge":
@@ -197,7 +196,6 @@ elif job == "pagerank_converge":
            "supersteps": nss, "warm_walls": [round(w, 2) for w in walls],
            "per_superstep_logs": ss_logs,
            "edges_per_sec_per_superstep": round(m * nss / wall, 1),
-           "edges_per_sec_median": round(m * nss / wall, 1),
            "superstep_sec": round(wall, 2),
            "median_superstep_sec": round(wall / max(1, nss), 3)}
 else:
