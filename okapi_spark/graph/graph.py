@@ -12,11 +12,15 @@ only the (small) state side shuffles.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+# per-Graph plan-identity counter (see from_edges)
+_GRAPH_UID = itertools.count(1)
 
 
 @dataclass
@@ -60,6 +64,18 @@ class Graph:
             F.col("dst").cast("long").alias("dst"),
             (F.col("weight") if "weight" in edges.columns else F.lit(1.0)).cast("double").alias("weight"),
         )
+        # Plan-identity marker (round 6): Spark's CacheManager keys
+        # cache entries by the canonicalized ANALYZED plan, so two
+        # Graphs induced by identical code share entries — and
+        # unpersisting the old one silently evicts the new one's caches
+        # (measured in the bench's re-induction loop: the fresh graph's
+        # vertex dictionary was evicted by the previous graph's cleanup
+        # and every later operator call re-derived it, ~2s/call). The
+        # constant-folded marker predicate makes each Graph's plan
+        # unique where cache lookup happens while the optimizer removes
+        # it entirely from the physical plan.
+        uid = next(_GRAPH_UID)
+        e = e.filter(F.lit(uid) == F.lit(uid))
         if partitions:
             e = e.repartition(partitions, "src")
         else:

@@ -101,7 +101,7 @@ def _csr_min_comp(
 
 
 def _cc_csr_fused(
-    spark, vertices, n, max_supersteps, num_partitions, ensure_staged, n_edges,
+    spark, graph, vertices, n, max_supersteps, num_partitions, ensure_staged, n_edges,
 ) -> BSPResult:
     """The whole HashMin fixpoint in ONE Spark job (round 6; the same
     fuse-the-supersteps move as PageRank's ``_pagerank_csr_fused``):
@@ -116,11 +116,11 @@ def _cc_csr_fused(
     import pandas as pd
 
     from okapi_spark.bsp import no_adaptive
-    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+    from okapi_spark.operators.pagerank import _ids_sorted
     from okapi_spark.plans.csr_blocks import load_block, pid_frame
 
     bdir, epoch = ensure_staged()
-    ids, _ = _gather_sorted_arrays(vertices.select("id"), n, [])
+    ids = _ids_sorted(graph, vertices, n)
     b = spark.sparkContext.broadcast(ids)
 
     def kernel(pdf_iter):
@@ -305,7 +305,7 @@ def connected_components(
 
             if n_edges <= _FUSE_MAX_EDGES:
                 return _cc_csr_fused(
-                    spark, vertices, n, max_supersteps, num_partitions,
+                    spark, graph, vertices, n, max_supersteps, num_partitions,
                     ensure_staged, n_edges,
                 )
 

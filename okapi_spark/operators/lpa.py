@@ -243,11 +243,11 @@ def _lpa_csr_fused(
     import numpy as np
     import pandas as pd
 
-    from okapi_spark.operators.pagerank import _gather_sorted_arrays
+    from okapi_spark.operators.pagerank import _ids_sorted
     from okapi_spark.plans.csr_blocks import load_block, pid_frame
 
     bdir, epoch = ensure_staged()
-    ids, _ = _gather_sorted_arrays(vertices.select("id"), n, [])
+    ids = _ids_sorted(graph, vertices, n)
     b = spark.sparkContext.broadcast(ids)
 
     def kernel(pdf_iter):

@@ -374,6 +374,18 @@ def pagerank(
 _GATHER_PANDAS_MAX_ROWS = 1_000_000
 
 
+def _ids_sorted(graph, vertices: DataFrame, n: int):
+    """Memoized driver-side sorted vertex-id array (round 6): the
+    fused/driver-loop csr paths need it every call, and it is exactly
+    the |V|·8B payload the state broadcast already budgets for —
+    holding it on the Graph skips a per-call gather job."""
+    return graph.derived(
+        ("ids_sorted",),
+        lambda: _gather_sorted_arrays(vertices.select("id"), n, [])[0],
+        cleanup=lambda v: None,
+    )
+
+
 def _gather_state_arrays(
     state: DataFrame,
     n_rows: int | None = None,
@@ -534,7 +546,7 @@ def _pagerank_csr_driver_loop(
     import numpy as np
 
     bdir, staged_epoch = ensure_staged()
-    ids, _ = _gather_sorted_arrays(vertices.select("id"), n, [])
+    ids = _ids_sorted(graph, vertices, n)
     ranks = np.full(n, 1.0 / n, dtype="float64")
     log: list[dict] = []
     converged = False
