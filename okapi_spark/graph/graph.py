@@ -108,7 +108,16 @@ class Graph:
 
     # -- derived views ----------------------------------------------------
     def vertices(self) -> DataFrame:
-        """Distinct vertex ids appearing on either endpoint."""
+        """Distinct vertex ids appearing on either endpoint.
+
+        ``symmetric_distinct`` fast path (round 6): when every (u,v) row
+        has its (v,u) mirror, the distinct src set IS the vertex set —
+        half the scan, and because the edge cache is hash-partitioned by
+        src the aggregate needs NO exchange at all (the union form
+        always shuffles: the dst side is partitioned by the wrong key).
+        """
+        if self.symmetric_distinct:
+            return self.edges.select(F.col("src").alias("id")).distinct()
         return (
             self.edges.select(F.col("src").alias("id"))
             .union(self.edges.select(F.col("dst").alias("id")))
@@ -194,11 +203,19 @@ class Graph:
 
     def num_vertices(self) -> int:
         if self._num_vertices is None:
-            # count through the memoized vertex dictionary: the same
-            # distinct was otherwise computed here unpersisted and then
-            # AGAIN by the first operator that needed the dictionary
-            p = self.edges.sparkSession.sparkContext.defaultParallelism
-            self._num_vertices = self.vertices_by_id(p).count()
+            # count the distinct directly — on a symmetric graph this is
+            # a zero-exchange pass over the src-partitioned edge cache.
+            # Deliberately does NOT build the persisted vertex
+            # dictionary: callers that induce graphs repeatedly (the
+            # bench's induction loop) would pay the dictionary
+            # materialization per induction; the first operator that
+            # needs the dictionary builds the memo lazily instead. If a
+            # dictionary already exists, count through it (cached scan).
+            for key, value in self._derived.items():
+                if key[0] == "verts_by_id":
+                    self._num_vertices = value.count()
+                    return self._num_vertices
+            self._num_vertices = self.vertices().count()
         return self._num_vertices
 
     def num_edges(self) -> int:

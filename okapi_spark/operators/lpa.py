@@ -393,7 +393,7 @@ def label_propagation(
     # memoized vertex dictionary (Graph.derived) — rebuilt per call
     # before round 6
     vertices = graph.vertices_by_id(num_partitions)
-    n = vertices.count()
+    n = graph.num_vertices()  # scalar memo — no per-call count job
     if mode == "auto":
         from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
 

@@ -119,7 +119,7 @@ def pagerank(
     # call before round 6 — now built once per Graph and shared across
     # operator calls (guide §2.4: don't recompute what a layout holds)
     vertices = graph.vertices_by_id(num_partitions)
-    n = vertices.count()
+    n = graph.num_vertices()  # scalar memo — no per-call count job
     base = (1.0 - damping) / n
 
     # share = fraction of rank sent along each out-edge; out_deg kept

@@ -62,7 +62,7 @@ def sybilrank(
     # memoized vertex dictionary (Graph.derived) — was a per-call
     # persist that leaked across calls before round 6
     vertices = graph.vertices_by_id(num_partitions)
-    n = vertices.count()
+    n = graph.num_vertices()  # scalar memo — no per-call count job
     if total_trust is None:
         total_trust = float(n)
     if mode == "csr" and not auto_state_broadcast(
