@@ -595,7 +595,7 @@ def _pagerank_csr_driver_loop(
 
 def _pagerank_csr_fused(
     spark, ids, ranks0, n, base, damping, tol, tol_norm, iterations,
-    n_ss, num_partitions, epoch, block_dir, n_edges,
+    n_ss, num_partitions, epoch, block_dir, n_edges, tag: str = "pr",
 ) -> BSPResult:
     """All supersteps in ONE Spark job (|E| ≤ ``_FUSE_MAX_EDGES``): a
     single task holds every staged block — together they own every
@@ -624,7 +624,7 @@ def _pagerank_csr_fused(
         blocks = []
         for pdf in pdf_iter:
             for pid in pdf["pid"].tolist():
-                blk = load_block("pr", epoch, int(pid), block_dir)
+                blk = load_block(tag, epoch, int(pid), block_dir)
                 if blk is not None and len(blk["src"]):
                     # pre-resolve the block's gather/scatter positions
                     # once — they are superstep-invariant

@@ -23,6 +23,151 @@ from okapi_spark.bsp import BSPResult, CheckpointStore, run_supersteps
 from okapi_spark.graph.graph import Graph
 
 
+def _ensure_sp_blocks(graph: Graph, num_partitions: int) -> tuple[str, int]:
+    """Memoized dst-sorted (src, w) staged block set SHARED by sssp and
+    mssp (round 6): both pack the identical weighted layout
+    (``_lpa_pack``), so one staging pass per Graph serves every
+    shortest-path call; before this each call re-staged per invocation
+    (guide §2.4 — don't rebuild a layout you already hold). Released by
+    ``Graph.unpersist()`` with the csr_blocks atexit sweep as backstop."""
+    from okapi_spark.bsp import no_adaptive
+    from okapi_spark.operators.lpa import _lpa_pack
+    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
+    from okapi_spark.plans.csr_blocks import (
+        cleanup_blocks, default_block_dir, stage_blocks,
+    )
+
+    spark = graph.edges.sparkSession
+
+    def _stage() -> tuple[str, int]:
+        epoch = next(_EPOCH_COUNTER)
+        edges_by_pid = (
+            graph.edges.select("src", "dst", F.col("weight"))
+            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
+            .repartition(num_partitions, "pid")
+        )
+        bdir = default_block_dir(spark)
+        with no_adaptive(spark):
+            staged = stage_blocks(
+                edges_by_pid, num_partitions, _lpa_pack, "sp", epoch, bdir
+            )
+        n_edges = graph.num_edges()
+        assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
+        return bdir, epoch
+
+    return graph.derived(
+        ("sp_blocks", num_partitions), _stage, cleanup=lambda v: cleanup_blocks(v[0])
+    )
+
+
+def _sssp_csr_fused(
+    spark, graph, vertices, n, source, max_supersteps, num_partitions, n_edges,
+) -> BSPResult:
+    """The whole relaxation fixpoint in ONE Spark job (round 6; the same
+    fuse-the-supersteps move as components' ``_cc_csr_fused``): a single
+    task holds every memoized staged block — together they own every
+    in-edge — so it iterates rounds locally (frontier gather, per-dst
+    ``minimum.reduceat``, improvement merge) until nothing improves,
+    instead of paying 3 jobs per round. Float semantics are identical to
+    the per-round loop: the same ``dist + w`` IEEE additions, and min is
+    exact — the fixpoint is bit-identical by construction."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from okapi_spark.bsp import no_adaptive
+    from okapi_spark.operators.pagerank import _ids_sorted
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    bdir, epoch = _ensure_sp_blocks(graph, num_partitions)
+    ids = _ids_sorted(graph, vertices, n)
+    b = spark.sparkContext.broadcast(ids)
+    src_id = int(source)
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        sid = b.value
+        nn = len(sid)
+        dist = np.full(nn, np.inf, dtype="float64")
+        changed = np.zeros(nn, dtype=bool)
+        p0 = int(np.searchsorted(sid, src_id))
+        if p0 < nn and sid[p0] == src_id:
+            dist[p0] = 0.0
+            changed[p0] = True
+        blocks = []
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("sp", epoch, int(pid), bdir)
+                if blk is not None and len(blk["dst"]):
+                    # frontier gather positions are round-invariant
+                    blocks.append((np.searchsorted(sid, blk["src"]), blk["dst"], blk["w"]))
+        mets = []
+        for _ss in range(max_supersteps):
+            t0 = time.time()
+            new_dist = dist.copy()
+            new_changed = np.zeros(nn, dtype=bool)
+            for spos, dst, w in blocks:
+                valid = changed[spos]
+                if not valid.any():
+                    continue
+                dst_v = dst[valid]  # dst-sorted layout survives the mask
+                cand_v = dist[spos[valid]] + w[valid]
+                starts = np.flatnonzero(np.r_[True, dst_v[1:] != dst_v[:-1]])
+                cand = np.minimum.reduceat(cand_v, starts)
+                tgt = np.searchsorted(sid, dst_v[starts])
+                m = cand < dist[tgt]  # send-on-improvement
+                new_dist[tgt[m]] = cand[m]
+                new_changed[tgt[m]] = True
+            dist, changed = new_dist, new_changed
+            nch = int(np.count_nonzero(changed))
+            mets.append((nch, time.time() - t0))
+            if nch == 0:
+                break
+        fin = np.isfinite(dist)  # unreachable vertices stay absent
+        yield pd.DataFrame({
+            "ids": [sid[fin].tobytes()],
+            "dist": [dist[fin].tobytes()],
+            "metrics": [np.asarray(mets, dtype="float64").tobytes()],
+        })
+
+    with no_adaptive(spark):
+        try:
+            row = (
+                pid_frame(spark, num_partitions, 1)
+                .mapInPandas(kernel, schema="ids binary, dist binary, metrics binary")
+                .collect()[0]
+            )
+        finally:
+            b.destroy()
+    rid = np.frombuffer(row.ids, dtype="int64")
+    rdist = np.frombuffer(row.dist, dtype="float64")
+    if src_id not in rid:
+        # parity with the DataFrame loop: state0 carries the source row
+        # even when the source id is not a graph vertex
+        rid = np.concatenate([rid, np.array([src_id], dtype="int64")])
+        rdist = np.concatenate([rdist, np.array([0.0])])
+    mets = np.frombuffer(row.metrics, dtype="float64").reshape(-1, 2)
+    log = []
+    converged = False
+    for ss in range(mets.shape[0]):
+        c = int(mets[ss, 0])
+        halted = c == 0
+        log.append({
+            "changed": c,
+            "_halted": halted,
+            "superstep_sec": float(mets[ss, 1]),
+            "superstep": ss,
+        })
+        if halted:
+            converged = True
+    state = spark.createDataFrame(
+        pd.DataFrame({"id": rid, "dist": rdist}), schema="id long, dist double"
+    )
+    return BSPResult(state, (log[-1]["superstep"] + 1) if log else 0, converged, log)
+
+
 def _sssp_csr_cand(
     spark, num_blocks: int, num_tasks: int, epoch: int, block_dir: str,
     frontier: DataFrame, bcast_slot: list, n_rows: int,
@@ -53,7 +198,7 @@ def _sssp_csr_cand(
 
         for pdf in pdf_iter:
             for pid in pdf["pid"].tolist():
-                blk = load_block("sssp", epoch, int(pid), block_dir)
+                blk = load_block("sp", epoch, int(pid), block_dir)
                 sid, sdist = b.value
                 if blk is None or len(blk["dst"]) == 0 or len(sid) == 0:
                     continue
@@ -94,17 +239,13 @@ def sssp(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
-    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
-
-    epoch = next(_EPOCH_COUNTER)
-    block_slot: list = [None]
     bcast_slot: list = [None]
     last_changed = [1]  # frontier row count (source only at round 0)
     if mode == "csr":
         # the worst-case frontier is |V| rows broadcast to every
         # executor — same byte gate as the other csr operators
         from okapi_spark.plans.broadcast import auto_state_broadcast
-        from okapi_spark.plans.csr_blocks import default_block_dir, stage_blocks
+        from okapi_spark.plans.csr_blocks import choose_task_count
 
         n = graph.num_vertices()
         if not auto_state_broadcast(n, row_bytes=32):
@@ -113,32 +254,17 @@ def sssp(
                 f"the worst-case frontier is |V|={n} rows, exceeding the "
                 "broadcast budget. Use mode='sql' at cluster-scale |V|."
             )
-        # dst-sorted (src, w) blocks; _lpa_pack already packs exactly
-        # this layout (staged lazily on first superstep)
-        from okapi_spark.operators.lpa import _lpa_pack
-        from okapi_spark.plans.csr_blocks import choose_task_count
+        from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
 
-        # stage WIDE (one block per partition); supersteps run over
-        # fewer tasks when the graph is small (see pid_frame)
+        if store is None and graph.num_edges() <= _FUSE_MAX_EDGES:
+            # whole fixpoint in one job over the memoized staged blocks
+            return _sssp_csr_fused(
+                spark, graph, graph.vertices_by_id(num_partitions), n, source,
+                max_supersteps, num_partitions, graph.num_edges(),
+            )
+        # per-superstep loop (crash-resumable / large-|E| path): staged
+        # blocks memoized on the Graph and shared with mssp
         k_tasks = choose_task_count(graph.num_edges(), num_partitions)
-        edges_by_pid = (
-            edges.select("src", "dst", F.col("weight"))
-            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
-            .repartition(num_partitions, "pid")
-        )
-
-        def ensure_staged() -> str:
-            if block_slot[0] is None:
-                block_slot[0] = default_block_dir(spark)
-                from okapi_spark.bsp import no_adaptive
-
-                with no_adaptive(spark):
-                    staged = stage_blocks(
-                        edges_by_pid, num_partitions, _lpa_pack, "sssp", epoch, block_slot[0]
-                    )
-                n_edges = graph.num_edges()
-                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
-            return block_slot[0]
 
     state0 = spark.createDataFrame(
         [(int(source), 0.0, True)], "id long, dist double, changed boolean"
@@ -146,8 +272,9 @@ def sssp(
 
     def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
         if mode == "csr":
+            bdir, epoch = _ensure_sp_blocks(graph, num_partitions)
             cand = _sssp_csr_cand(
-                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, epoch, bdir,
                 state.filter("changed").select("id", "dist"),
                 bcast_slot, n_rows=last_changed[0],
             )
@@ -177,16 +304,10 @@ def sssp(
 
         return merged, post
 
-    try:
-        res = run_supersteps(
-            state0, superstep, max_supersteps=max_supersteps,
-            halt_fn=lambda ss, m: m["changed"] == 0, store=store,
-        )
-    finally:
-        if block_slot[0] is not None:
-            from okapi_spark.plans.csr_blocks import cleanup_blocks
-
-            cleanup_blocks(block_slot[0])
+    res = run_supersteps(
+        state0, superstep, max_supersteps=max_supersteps,
+        halt_fn=lambda ss, m: m["changed"] == 0, store=store,
+    )
     res.state = res.state.select("id", "dist")
     if bcast_slot[0] is not None:
         bcast_slot[0].destroy()
@@ -224,7 +345,7 @@ def _mssp_csr_cand(
 
         for pdf in pdf_iter:
             for pid in pdf["pid"].tolist():
-                blk = load_block("mssp", epoch, int(pid), block_dir)
+                blk = load_block("sp", epoch, int(pid), block_dir)
                 sid, sorig, sdist = b.value
                 if blk is None or len(blk["dst"]) == 0 or len(sid) == 0:
                     continue
@@ -256,6 +377,124 @@ def _mssp_csr_cand(
     return pid_frame(spark, num_blocks, num_tasks).mapInPandas(
         kernel, schema="id long, origin long, cand double"
     )
+
+
+def _mssp_csr_fused(
+    spark, graph, vertices, n, origins, max_supersteps, num_partitions, n_edges,
+) -> BSPResult:
+    """All landmarks' relaxation fixpoints in ONE Spark job (round 6):
+    the per-origin distances are independent, so the single task that
+    holds every memoized staged block runs |sources| synchronized
+    relaxations locally — same rounds, same ``dist + w`` additions,
+    same exact mins as the per-round loop, bit-identical fixpoint. The
+    dense (|sources| × |V|) float64 state is bounded by the same
+    |V|·|sources| byte gate the per-round broadcast already enforces."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from okapi_spark.bsp import no_adaptive
+    from okapi_spark.operators.pagerank import _ids_sorted
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+
+    bdir, epoch = _ensure_sp_blocks(graph, num_partitions)
+    ids = _ids_sorted(graph, vertices, n)
+    origins_arr = np.asarray(sorted(origins), dtype="int64")
+    b = spark.sparkContext.broadcast((ids, origins_arr))
+
+    def kernel(pdf_iter):
+        import numpy as np
+
+        sid, origs = b.value
+        nn, s = len(sid), len(origs)
+        dist = np.full((s, nn), np.inf, dtype="float64")
+        changed = np.zeros((s, nn), dtype=bool)
+        for j, o in enumerate(origs):
+            p = int(np.searchsorted(sid, o))
+            if p < nn and sid[p] == o:
+                dist[j, p] = 0.0
+                changed[j, p] = True
+        blocks = []
+        for pdf in pdf_iter:
+            for pid in pdf["pid"].tolist():
+                blk = load_block("sp", epoch, int(pid), bdir)
+                if blk is not None and len(blk["dst"]):
+                    blocks.append((np.searchsorted(sid, blk["src"]), blk["dst"], blk["w"]))
+        mets = []
+        for _ss in range(max_supersteps):
+            t0 = time.time()
+            new_dist = dist.copy()
+            new_changed = np.zeros((s, nn), dtype=bool)
+            for spos, dst, w in blocks:
+                for j in range(s):
+                    valid = changed[j, spos]
+                    if not valid.any():
+                        continue
+                    dst_v = dst[valid]  # dst-sorted layout survives the mask
+                    cand_v = dist[j, spos[valid]] + w[valid]
+                    starts = np.flatnonzero(np.r_[True, dst_v[1:] != dst_v[:-1]])
+                    cand = np.minimum.reduceat(cand_v, starts)
+                    tgt = np.searchsorted(sid, dst_v[starts])
+                    m = cand < dist[j, tgt]  # send-on-improvement
+                    new_dist[j, tgt[m]] = cand[m]
+                    new_changed[j, tgt[m]] = True
+            dist, changed = new_dist, new_changed
+            nch = int(np.count_nonzero(changed))
+            mets.append((nch, time.time() - t0))
+            if nch == 0:
+                break
+        out_id, out_org, out_d = [], [], []
+        for j, o in enumerate(origs):
+            fin = np.isfinite(dist[j])
+            out_id.append(sid[fin])
+            out_org.append(np.full(int(fin.sum()), o, dtype="int64"))
+            out_d.append(dist[j][fin])
+        yield pd.DataFrame({
+            "ids": [np.concatenate(out_id).tobytes() if out_id else b""],
+            "origin": [np.concatenate(out_org).tobytes() if out_org else b""],
+            "dist": [np.concatenate(out_d).tobytes() if out_d else b""],
+            "metrics": [np.asarray(mets, dtype="float64").tobytes()],
+        })
+
+    with no_adaptive(spark):
+        try:
+            row = (
+                pid_frame(spark, num_partitions, 1)
+                .mapInPandas(kernel, schema="ids binary, origin binary, dist binary, metrics binary")
+                .collect()[0]
+            )
+        finally:
+            b.destroy()
+    rid = np.frombuffer(row.ids, dtype="int64")
+    rorg = np.frombuffer(row.origin, dtype="int64")
+    rdist = np.frombuffer(row.dist, dtype="float64")
+    missing = [o for o in origins_arr.tolist() if o not in set(rorg[rid == o].tolist())]
+    if missing:
+        # parity with the DataFrame loop: state0 carries each source row
+        # even when that id is not a graph vertex
+        rid = np.concatenate([rid, np.array(missing, dtype="int64")])
+        rorg = np.concatenate([rorg, np.array(missing, dtype="int64")])
+        rdist = np.concatenate([rdist, np.zeros(len(missing))])
+    mets = np.frombuffer(row.metrics, dtype="float64").reshape(-1, 2)
+    log = []
+    converged = False
+    for ss in range(mets.shape[0]):
+        c = int(mets[ss, 0])
+        halted = c == 0
+        log.append({
+            "changed": c,
+            "_halted": halted,
+            "superstep_sec": float(mets[ss, 1]),
+            "superstep": ss,
+        })
+        if halted:
+            converged = True
+    state = spark.createDataFrame(
+        pd.DataFrame({"id": rid, "origin": rorg, "dist": rdist}),
+        schema="id long, origin long, dist double",
+    )
+    return BSPResult(state, (log[-1]["superstep"] + 1) if log else 0, converged, log)
 
 
 def mssp(
@@ -297,18 +536,12 @@ def mssp(
             "id long, origin long, dist double, changed boolean",
         )
 
-    from okapi_spark.operators.pagerank import _EPOCH_COUNTER
-
-    epoch = next(_EPOCH_COUNTER)
-    block_slot: list = [None]
     bcast_slot: list = [None]
     n_sources = state0.count()
     last_changed = [n_sources]
     if mode == "csr":
         from okapi_spark.plans.broadcast import auto_state_broadcast
-        from okapi_spark.plans.csr_blocks import (
-            choose_task_count, default_block_dir, stage_blocks,
-        )
+        from okapi_spark.plans.csr_blocks import choose_task_count
 
         worst_frontier = graph.num_vertices() * n_sources
         if not auto_state_broadcast(worst_frontier, row_bytes=48):
@@ -317,32 +550,28 @@ def mssp(
                 f"the worst case is |V|·|sources|={worst_frontier} rows, "
                 "exceeding the broadcast budget. Use mode='sql'."
             )
-        from okapi_spark.operators.lpa import _lpa_pack
+        from okapi_spark.operators.pagerank import _FUSE_MAX_EDGES
 
+        if store is None and graph.num_edges() <= _FUSE_MAX_EDGES:
+            origins = [r.id for r in state0.select("id").collect()]
+            if len(set(origins)) == len(origins):
+                # whole fixpoint in one job over the memoized staged
+                # blocks (duplicate source rows keep the loop path so
+                # its duplicate-row output shape is preserved exactly)
+                return _mssp_csr_fused(
+                    spark, graph, graph.vertices_by_id(num_partitions),
+                    graph.num_vertices(), origins, max_supersteps,
+                    num_partitions, graph.num_edges(),
+                )
+        # per-superstep loop (crash-resumable / large-|E| path): staged
+        # blocks memoized on the Graph and shared with sssp
         k_tasks = choose_task_count(graph.num_edges(), num_partitions)
-        edges_by_pid = (
-            edges.select("src", "dst", F.col("weight"))
-            .withColumn("pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int"))
-            .repartition(num_partitions, "pid")
-        )
-
-        def ensure_staged() -> str:
-            if block_slot[0] is None:
-                block_slot[0] = default_block_dir(spark)
-                from okapi_spark.bsp import no_adaptive
-
-                with no_adaptive(spark):
-                    staged = stage_blocks(
-                        edges_by_pid, num_partitions, _lpa_pack, "mssp", epoch, block_slot[0]
-                    )
-                n_edges = graph.num_edges()
-                assert staged == n_edges, f"staged {staged} edge rows != |E|={n_edges}"
-            return block_slot[0]
 
     def superstep(ss: int, state: DataFrame) -> tuple[DataFrame, dict]:
         if mode == "csr":
+            bdir, epoch = _ensure_sp_blocks(graph, num_partitions)
             cand = _mssp_csr_cand(
-                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, epoch, bdir,
                 state.filter("changed").select("id", "origin", "dist"),
                 bcast_slot, n_rows=last_changed[0],
             )
@@ -372,16 +601,10 @@ def mssp(
 
         return merged, post
 
-    try:
-        res = run_supersteps(
-            state0, superstep, max_supersteps=max_supersteps,
-            halt_fn=lambda ss, m: m["changed"] == 0, store=store,
-        )
-    finally:
-        if block_slot[0] is not None:
-            from okapi_spark.plans.csr_blocks import cleanup_blocks
-
-            cleanup_blocks(block_slot[0])
+    res = run_supersteps(
+        state0, superstep, max_supersteps=max_supersteps,
+        halt_fn=lambda ss, m: m["changed"] == 0, store=store,
+    )
     res.state = res.state.select("id", "origin", "dist")
     if bcast_slot[0] is not None:
         bcast_slot[0].destroy()

@@ -89,32 +89,40 @@ def sybilrank(
     from okapi_spark.operators.pagerank import _EPOCH_COUNTER
 
     epoch = next(_EPOCH_COUNTER)
-    block_slot: list = [None]
     bcast_slot: list = [None]
     if mode == "csr":
-        # same staged layout and kernel as pagerank mode='csr'
+        # same staged layout and kernel as pagerank mode='csr' — and
+        # MEMOIZED on the Graph (round 6, like pr_blocks/sp_blocks):
+        # the trust-share blocks are a pure layout of the edge set
         from okapi_spark.operators.pagerank import _pr_pack
         from okapi_spark.plans.csr_blocks import (
-            choose_task_count, default_block_dir, stage_blocks,
+            choose_task_count, cleanup_blocks, default_block_dir, stage_blocks,
         )
 
         n_edges = graph.num_edges()
         k_tasks = choose_task_count(n_edges, num_partitions)
-        shares_by_pid = (
-            shares.withColumn(
-                "pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int")
-            ).repartition(num_partitions, "pid")
-        )
 
-        def ensure_staged() -> str:
-            if block_slot[0] is None:
-                block_slot[0] = default_block_dir(spark)
-                with no_adaptive(spark):
-                    staged = stage_blocks(
-                        shares_by_pid, num_partitions, _pr_pack, "sr", epoch, block_slot[0]
-                    )
-                assert staged == n_edges, f"staged {staged} share rows != |E|={n_edges}"
-            return block_slot[0]
+        def _stage() -> tuple[str, int]:
+            stage_epoch = next(_EPOCH_COUNTER)
+            shares_by_pid = (
+                shares.withColumn(
+                    "pid", F.pmod(F.xxhash64("dst"), F.lit(num_partitions)).cast("int")
+                ).repartition(num_partitions, "pid")
+            )
+            bdir = default_block_dir(spark)
+            with no_adaptive(spark):
+                staged = stage_blocks(
+                    shares_by_pid, num_partitions, _pr_pack, "sr", stage_epoch, bdir
+                )
+            assert staged == n_edges, f"staged {staged} share rows != |E|={n_edges}"
+            return bdir, stage_epoch
+
+        def ensure_staged() -> tuple[str, int]:
+            return graph.derived(
+                ("sr_blocks", num_partitions),
+                _stage,
+                cleanup=lambda v: cleanup_blocks(v[0]),
+            )
     else:
         # broadcast mode: dst-partitioned scatter layout (see
         # Graph.by_dst); shuffle mode: src layout so the state
@@ -134,8 +142,9 @@ def sybilrank(
         if mode == "csr":
             from okapi_spark.operators.pagerank import _csr_messages_bcast
 
+            bdir, staged_epoch = ensure_staged()
             recv = _csr_messages_bcast(
-                spark, num_partitions, k_tasks, epoch, ensure_staged(),
+                spark, num_partitions, k_tasks, staged_epoch, bdir,
                 state.select("id", F.col("send").alias("rank")),
                 bcast_slot, n_rows=n, tag="sr",
             ).select(F.col("dst").alias("id"), F.col("msum").alias("recv"))
@@ -160,14 +169,41 @@ def sybilrank(
 
     from contextlib import nullcontext
 
-    try:
+    res = None
+    if mode == "csr":
+        from okapi_spark.operators.pagerank import (
+            _FUSE_MAX_EDGES, _ids_sorted, _pagerank_csr_fused,
+        )
+
+        if n_edges <= _FUSE_MAX_EDGES:
+            # ALL power iterations in ONE Spark job (round 6): the
+            # update is exactly weighted PageRank's fused kernel with
+            # base=0, damping=1 — ``0.0 + 1.0·msum`` is IEEE-identical
+            # to the per-iteration plan's ``coalesce(recv, 0)``, so the
+            # trust vector is bit-identical by construction.
+            import numpy as np
+
+            bdir, staged_epoch = ensure_staged()
+            ids = _ids_sorted(graph, vertices, n)
+            t_ids = np.asarray(
+                sorted(r.id for r in trusted.select("id").distinct().collect()),
+                dtype="int64",
+            )
+            ranks0 = np.zeros(n, dtype="float64")
+            if len(t_ids) and n:
+                pos = np.searchsorted(ids, t_ids)
+                np.clip(pos, 0, n - 1, out=pos)
+                valid = ids[pos] == t_ids  # seeds absent from V drop out
+                ranks0[pos[valid]] = total_trust / n_trusted
+            res = _pagerank_csr_fused(
+                spark, ids, ranks0, n, 0.0, 1.0, 0.0, "max",
+                power_iterations, power_iterations, num_partitions,
+                staged_epoch, bdir, n_edges, tag="sr",
+            )
+            res.state = res.state.withColumnRenamed("rank", "send")
+    if res is None:
         with no_adaptive(spark) if (state_broadcast or mode == "csr") else nullcontext():
             res = run_supersteps(state0, superstep, max_supersteps=power_iterations)
-    finally:
-        if block_slot[0] is not None:
-            from okapi_spark.plans.csr_blocks import cleanup_blocks
-
-            cleanup_blocks(block_slot[0])
     if bcast_slot[0] is not None:
         bcast_slot[0].destroy()
         bcast_slot[0] = None
