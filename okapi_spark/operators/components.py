@@ -117,7 +117,7 @@ def _cc_csr_fused(
 
     from okapi_spark.bsp import no_adaptive
     from okapi_spark.operators.pagerank import _ids_sorted
-    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame, resolved_arrays
 
     bdir, epoch = ensure_staged()
     ids = _ids_sorted(graph, vertices, n)
@@ -135,8 +135,13 @@ def _cc_csr_fused(
             for pid in pdf["pid"].tolist():
                 blk = load_block("cc", epoch, int(pid), bdir)
                 if blk is not None and len(blk["dst"]):
-                    # frontier gather positions are round-invariant
-                    blocks.append((np.searchsorted(sid, blk["src"]), blk["dst"]))
+                    # frontier gather positions are round- AND
+                    # call-invariant — memoized as sidecar files
+                    res = resolved_arrays(
+                        "cc", epoch, int(pid), bdir, ["spos"],
+                        lambda: {"spos": np.searchsorted(sid, blk["src"])},
+                    )
+                    blocks.append((res["spos"], blk["dst"]))
         mets = []
         for _ss in range(max_supersteps):
             t0 = time.time()

@@ -246,6 +246,8 @@ def _lpa_csr_fused(
     from okapi_spark.operators.pagerank import _ids_sorted
     from okapi_spark.plans.csr_blocks import load_block, pid_frame
 
+    from okapi_spark.plans.csr_blocks import resolved_arrays
+
     bdir, epoch = ensure_staged()
     ids = _ids_sorted(graph, vertices, n)
     b = spark.sparkContext.broadcast(ids)
@@ -268,12 +270,17 @@ def _lpa_csr_fused(
             for pid in pdf["pid"].tolist():
                 blk = load_block("lpa", epoch, int(pid), bdir)
                 if blk is not None and len(blk["dst"]):
-                    # gather/scatter positions are round-invariant
-                    blocks.append((
-                        np.searchsorted(sid, blk["src"]),
-                        np.searchsorted(sid, blk["dst"]).astype(np.int64),
-                        blk["w"],
-                    ))
+                    # gather/scatter positions are round- AND
+                    # call-invariant — memoized as sidecar files
+                    # (resolved_arrays; measured 0.42s/call re-resolve)
+                    res = resolved_arrays(
+                        "lpa", epoch, int(pid), bdir, ["spos", "dpos"],
+                        lambda: {
+                            "spos": np.searchsorted(sid, blk["src"]),
+                            "dpos": np.searchsorted(sid, blk["dst"]).astype(np.int64),
+                        },
+                    )
+                    blocks.append((res["spos"], res["dpos"], blk["w"]))
         use32 = nn <= 46340  # nn² < 2^31
         mets = []
         for _ss in range(iterations):

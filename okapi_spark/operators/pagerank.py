@@ -609,7 +609,7 @@ def _pagerank_csr_fused(
 
     import numpy as np
 
-    from okapi_spark.plans.csr_blocks import load_block, pid_frame
+    from okapi_spark.plans.csr_blocks import load_block, pid_frame, resolved_arrays
 
     b = spark.sparkContext.broadcast((ids, ranks0))
     run_to_tol = iterations is None
@@ -626,13 +626,18 @@ def _pagerank_csr_fused(
             for pid in pdf["pid"].tolist():
                 blk = load_block(tag, epoch, int(pid), block_dir)
                 if blk is not None and len(blk["src"]):
-                    # pre-resolve the block's gather/scatter positions
-                    # once — they are superstep-invariant
+                    # gather/scatter positions are superstep-invariant
+                    # AND call-invariant — resolved once per staging,
+                    # memoized as sidecar files (resolved_arrays)
+                    res = resolved_arrays(
+                        tag, epoch, int(pid), block_dir, ["spos", "udpos"],
+                        lambda: {
+                            "spos": np.searchsorted(rid, blk["src"]),
+                            "udpos": np.searchsorted(rid, blk["uniq_dst"]),
+                        },
+                    )
                     blocks.append((
-                        np.searchsorted(rid, blk["src"]),
-                        blk["share"],
-                        blk["starts"],
-                        np.searchsorted(rid, blk["uniq_dst"]),
+                        res["spos"], blk["share"], blk["starts"], res["udpos"],
                     ))
         mets = []
         for ss in range(n_ss):

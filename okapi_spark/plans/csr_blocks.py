@@ -180,6 +180,40 @@ def _prune_stale(tag: str, epoch: int) -> None:
         _BLOCK_CACHE.pop(k, None)
 
 
+def resolved_arrays(tag: str, epoch: int, pid: int, block_dir: str, names, builder):
+    """Memoize a kernel's superstep-invariant DERIVATIVES of a staged
+    block (e.g. the ``searchsorted`` gather/scatter position arrays,
+    which are pure functions of the block plus the graph's sorted
+    vertex-id array) as sidecar ``.npy`` files in the staging dir.
+
+    The fused kernels run as ONE task, and Spark's per-core Python
+    workers give no affinity for 1-task jobs — a worker-global cache of
+    the resolved arrays would miss on most repeat calls (measured: the
+    pre-resolve is ~0.4s of a warm lpa_4 call at 2.4M edges). Files in
+    the shared staging dir are worker-agnostic: the first toucher
+    resolves and writes (tmp + atomic rename per array; a concurrent
+    writer produces identical bytes), everyone after memmaps from the
+    OS page cache. Cleaned up with the block dir."""
+    import numpy as np
+
+    key = (tag + "#res", epoch, pid)
+    v = _BLOCK_CACHE.get(key)
+    if v is None:
+        base = os.path.join(block_dir, f"{tag}-{epoch}-{pid}.res")
+        if all(os.path.exists(f"{base}.{n}.npy") for n in names):
+            v = {n: np.load(f"{base}.{n}.npy", mmap_mode="r") for n in names}
+        else:
+            v = builder()
+            for n, arr in v.items():
+                tmp = f"{base}.{n}.npy.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.save(f, np.ascontiguousarray(arr))
+                os.replace(tmp, f"{base}.{n}.npy")
+        _prune_stale(tag + "#res", epoch)
+        _BLOCK_CACHE[key] = v
+    return v
+
+
 def pid_frame(spark, num_blocks: int, num_tasks: int | None = None) -> DataFrame:
     """P-row driver for the per-superstep job: ``spark.range`` slices
     the P block ids over ``num_tasks`` partitions — no shuffle, no
